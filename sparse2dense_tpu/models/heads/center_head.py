@@ -1,0 +1,255 @@
+"""CenterPoint head, TPU-native.
+
+Rebuild of the reference CenterHead (det3d/models/bbox_heads/center_head.py:
+65-495) in NHWC with static shapes end to end:
+
+- ``CenterHead``: shared 3x3 conv + per-task SepHeads (conv stacks per output).
+- ``center_head_loss``: FastFocal on the heatmap + masked L1 on gathered
+  centers, weighted by ``code_weights`` (reference :250-291).
+- ``center_head_predict``: dense decode (sigmoid hm, exp dims, atan2 rot,
+  meshgrid + offset) entirely on device (reference :293-448), then
+  ``post_process``: score/range masking via -inf scores, top-k to a fixed
+  ``nms_pre_max_size``, greedy rotated or circle NMS, fixed-size outputs with
+  a validity mask instead of ragged tensors (reference :450-495).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..norm import BatchNorm
+from ..registry import HEADS
+from ..losses.centernet import fast_focal_loss, reg_loss
+from ...ops.nms import rotated_nms, circle_nms
+
+
+def _bias_init(value):
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.full(shape, value, dtype)
+    return init
+
+
+class SepHead(nn.Module):
+    """Per-task separated heads: dict name -> (out_channels, num_conv)."""
+
+    heads: Any
+    head_conv: int = 64
+    final_kernel: int = 3
+    init_bias: float = -2.19
+    bn: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = {}
+        fk = self.final_kernel
+        pad = [(fk // 2, fk // 2)] * 2
+        for head, (classes, num_conv) in dict(self.heads).items():
+            y = x
+            for i in range(num_conv - 1):
+                y = nn.Conv(
+                    self.head_conv, (fk, fk), padding=pad, use_bias=True,
+                    kernel_init=nn.initializers.he_normal(),
+                    name=f"{head}_conv_{i}",
+                )(y)
+                if self.bn:
+                    y = BatchNorm(axis_name=self.axis_name, name=f"{head}_bn_{i}")(
+                        y, use_running_average=not train
+                    )
+                y = nn.relu(y)
+            bias_init = (
+                _bias_init(self.init_bias) if "hm" in head else nn.initializers.zeros
+            )
+            y = nn.Conv(
+                classes, (fk, fk), padding=pad, use_bias=True,
+                kernel_init=nn.initializers.he_normal(), bias_init=bias_init,
+                name=f"{head}_out",
+            )(y)
+            out[head] = y
+        return out
+
+
+@HEADS.register_module
+class CenterHead(nn.Module):
+    in_channels: int = 128
+    tasks: Sequence[Any] = ()
+    dataset: str = "waymo"
+    weight: float = 0.25
+    code_weights: Sequence[float] = ()
+    common_heads: Any = None
+    init_bias: float = -2.19
+    share_conv_channel: int = 64
+    num_hm_conv: int = 2
+    dcn_head: bool = False
+    logger: Optional[object] = None
+    axis_name: Optional[str] = None
+
+    @property
+    def num_classes(self):
+        return [len(t["class_names"]) for t in self.tasks]
+
+    @property
+    def class_names(self):
+        return [list(t["class_names"]) for t in self.tasks]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.share_conv_channel, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
+            kernel_init=nn.initializers.he_normal(), name="shared_conv",
+        )(x)
+        x = BatchNorm(axis_name=self.axis_name, name="shared_bn")(
+            x, use_running_average=not train
+        )
+        x = nn.relu(x)
+
+        preds = []
+        for t, num_cls in enumerate(self.num_classes):
+            heads = dict(self.common_heads)
+            heads["hm"] = (num_cls, self.num_hm_conv)
+            preds.append(
+                SepHead(
+                    heads=tuple(sorted(heads.items())),
+                    init_bias=self.init_bias,
+                    axis_name=self.axis_name,
+                    name=f"task_{t}",
+                )(x, train)
+            )
+        return preds
+
+
+def _clip_sigmoid(x):
+    return jnp.clip(jax.nn.sigmoid(x), 1e-4, 1 - 1e-4)
+
+
+def center_head_loss(preds, example, *, weight, code_weights, dataset="waymo"):
+    """Total CenterHead loss over tasks. ``example`` holds per-task lists of
+    hm (B,H,W,C), anno_box (B,M,10), ind/mask/cat (B,M)."""
+    code_w = jnp.asarray(code_weights)
+    total = 0.0
+    logs = {}
+    for task_id, pd in enumerate(preds):
+        hm = _clip_sigmoid(pd["hm"])
+        hm_loss = fast_focal_loss(
+            hm,
+            example["hm"][task_id],
+            example["ind"][task_id],
+            example["mask"][task_id],
+            example["cat"][task_id],
+        )
+        target_box = example["anno_box"][task_id]
+        if "vel" in pd:
+            anno_pred = jnp.concatenate(
+                [pd["reg"], pd["height"], pd["dim"], pd["vel"], pd["rot"]], axis=-1
+            )
+        else:
+            anno_pred = jnp.concatenate(
+                [pd["reg"], pd["height"], pd["dim"], pd["rot"]], axis=-1
+            )
+            target_box = target_box[..., jnp.array([0, 1, 2, 3, 4, 5, -2, -1])]
+        box_loss = reg_loss(
+            anno_pred, example["mask"][task_id], example["ind"][task_id], target_box
+        )
+        loc_loss = jnp.sum(box_loss * code_w[: box_loss.shape[0]])
+        task_loss = hm_loss + weight * loc_loss
+        total = total + task_loss
+        logs[f"hm_loss_{task_id}"] = hm_loss
+        logs[f"loc_loss_{task_id}"] = loc_loss
+    return total, logs
+
+
+def decode_preds(pd, test_cfg):
+    """One task's raw NHWC maps -> (B, H*W, 7|9) world boxes + (B, H*W, C) hm."""
+    hm = jax.nn.sigmoid(pd["hm"])
+    b, h, w, num_cls = hm.shape
+    dims = jnp.exp(pd["dim"]).reshape(b, h * w, 3)
+    rot = jnp.arctan2(pd["rot"][..., 0:1], pd["rot"][..., 1:2]).reshape(b, h * w, 1)
+    reg = pd["reg"].reshape(b, h * w, 2)
+    hei = pd["height"].reshape(b, h * w, 1)
+
+    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    xs = xs.reshape(1, h * w, 1).astype(hm.dtype) + reg[..., 0:1]
+    ys = ys.reshape(1, h * w, 1).astype(hm.dtype) + reg[..., 1:2]
+    osf = test_cfg["out_size_factor"]
+    vs = test_cfg["voxel_size"]
+    pc = test_cfg["pc_range"]
+    xs = xs * osf * vs[0] + pc[0]
+    ys = ys * osf * vs[1] + pc[1]
+
+    if "vel" in pd:
+        vel = pd["vel"].reshape(b, h * w, 2)
+        boxes = jnp.concatenate([xs, ys, hei, dims, vel, rot], axis=-1)
+    else:
+        boxes = jnp.concatenate([xs, ys, hei, dims, rot], axis=-1)
+    return boxes, hm.reshape(b, h * w, num_cls)
+
+
+def post_process_task(boxes, hm, test_cfg, task_id):
+    """Static-shape score/range mask + top-k + NMS for one task.
+
+    Returns dict of (B, post_max, ...) arrays plus a boolean validity mask.
+    """
+    score_thr = test_cfg["score_threshold"]
+    pcr = jnp.asarray(test_cfg["post_center_limit_range"])
+    nms_cfg = test_cfg["nms"]
+    pre_max = int(nms_cfg["nms_pre_max_size"])
+    post_max = int(nms_cfg["nms_post_max_size"])
+    iou_thr = float(nms_cfg["nms_iou_threshold"])
+
+    scores = jnp.max(hm, axis=-1)
+    labels = jnp.argmax(hm, axis=-1)
+    in_range = jnp.all(boxes[..., :3] >= pcr[:3], axis=-1) & jnp.all(
+        boxes[..., :3] <= pcr[3:], axis=-1
+    )
+    valid = (scores > score_thr) & in_range
+    masked = jnp.where(valid, scores, -jnp.inf)
+
+    k = min(pre_max, masked.shape[-1])
+    top_scores, top_idx = jax.lax.top_k(masked, k)
+    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    top_labels = jnp.take_along_axis(labels, top_idx, axis=1)
+
+    bev = top_boxes[..., jnp.array([0, 1, 3, 4, -1])]  # (B, k, 5) cx cy dx dy yaw
+
+    if test_cfg.get("circular_nms", False):
+        min_radius = test_cfg["min_radius"][task_id]
+        sel = jax.vmap(
+            lambda c, s: circle_nms(c, s, min_radius, post_max)
+        )(bev[..., :2], top_scores)
+    else:
+        sel = jax.vmap(
+            lambda bx, s: rotated_nms(bx, s, iou_thr, post_max)
+        )(bev, top_scores)
+
+    sel_valid = sel >= 0
+    sel_safe = jnp.maximum(sel, 0)
+    out_boxes = jnp.take_along_axis(top_boxes, sel_safe[..., None], axis=1)
+    out_scores = jnp.take_along_axis(top_scores, sel_safe, axis=1)
+    out_labels = jnp.take_along_axis(top_labels, sel_safe, axis=1)
+    out_valid = sel_valid & jnp.isfinite(out_scores)
+    out_scores = jnp.where(out_valid, out_scores, 0.0)
+    return {
+        "box3d_lidar": out_boxes,
+        "scores": out_scores,
+        "label_preds": out_labels,
+        "valid": out_valid,
+    }
+
+
+def center_head_predict(preds, test_cfg, num_classes):
+    """All tasks: decode + NMS, concat along candidates with label offsets."""
+    rets = []
+    flag = 0
+    for task_id, pd in enumerate(preds):
+        boxes, hm = decode_preds(pd, test_cfg)
+        r = post_process_task(boxes, hm, test_cfg, task_id)
+        r["label_preds"] = r["label_preds"] + flag
+        flag += num_classes[task_id]
+        rets.append(r)
+    return {
+        k: jnp.concatenate([r[k] for r in rets], axis=1)
+        for k in ("box3d_lidar", "scores", "label_preds", "valid")
+    }

@@ -1,0 +1,64 @@
+"""String-keyed class registries.
+
+TPU-native rebuild of the registry/builder pattern the reference uses to turn
+config dicts into model objects (reference: det3d/utils/registry.py:6,49).
+"""
+from __future__ import annotations
+
+import inspect
+from typing import Any, Dict, Optional
+
+
+class Registry:
+    def __init__(self, name: str):
+        self._name = name
+        self._module_dict: Dict[str, type] = {}
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    @property
+    def module_dict(self) -> Dict[str, type]:
+        return self._module_dict
+
+    def get(self, key: str) -> Optional[type]:
+        return self._module_dict.get(key)
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._module_dict
+
+    def __repr__(self) -> str:
+        return f"Registry(name={self._name}, items={list(self._module_dict)})"
+
+    def register_module(self, cls=None, *, name: Optional[str] = None, force: bool = False):
+        """Usable both as ``@REG.register_module`` and ``@REG.register_module(name=...)``."""
+        if cls is None:
+            return lambda c: self.register_module(c, name=name, force=force)
+        if not inspect.isclass(cls) and not inspect.isfunction(cls):
+            raise TypeError(f"module must be a class or function, got {type(cls)}")
+        key = name or cls.__name__
+        if not force and key in self._module_dict:
+            raise KeyError(f"{key} already registered in {self._name}")
+        self._module_dict[key] = cls
+        return cls
+
+
+def build_from_cfg(cfg: Dict[str, Any], registry: Registry, default_args: Optional[dict] = None):
+    """Instantiate ``registry[cfg['type']](**cfg_without_type, **default_args)``."""
+    if not isinstance(cfg, dict) or "type" not in cfg:
+        raise ValueError(f"cfg must be a dict with a 'type' key, got {cfg!r}")
+    args = dict(cfg)
+    obj_type = args.pop("type")
+    if isinstance(obj_type, str):
+        obj_cls = registry.get(obj_type)
+        if obj_cls is None:
+            raise KeyError(f"{obj_type} is not in the {registry.name} registry")
+    elif inspect.isclass(obj_type):
+        obj_cls = obj_type
+    else:
+        raise TypeError(f"type must be a str or class, got {obj_type!r}")
+    if default_args is not None:
+        for k, v in default_args.items():
+            args.setdefault(k, v)
+    return obj_cls(**args)

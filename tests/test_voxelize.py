@@ -1,0 +1,79 @@
+"""Voxelizer parity vs a literal re-implementation of the reference numba
+kernel semantics (det3d/ops/point_cloud/point_cloud_ops.py:7-55)."""
+import numpy as np
+
+from sparse2dense_tpu.ops.voxelize import points_to_voxel, VoxelGenerator
+
+
+def _reference_loop(points, voxel_size, coors_range, max_points, max_voxels, reverse=True):
+    """Straightforward per-point loop with the exact reference drop rules."""
+    voxel_size = np.asarray(voxel_size, dtype=points.dtype)
+    coors_range = np.asarray(coors_range, dtype=points.dtype)
+    grid = np.round((coors_range[3:] - coors_range[:3]) / voxel_size).astype(np.int32)
+    vmap = {}
+    voxels, coords, counts = [], [], []
+    for p in points:
+        c = np.floor((p[:3] - coors_range[:3]) / voxel_size).astype(np.int64)
+        if np.any(c < 0) or np.any(c >= grid):
+            continue
+        key = tuple(c)
+        if key not in vmap:
+            if len(voxels) >= max_voxels:
+                continue
+            vmap[key] = len(voxels)
+            voxels.append(np.zeros((max_points, points.shape[1]), points.dtype))
+            coords.append(c[::-1] if reverse else c)
+            counts.append(0)
+        vi = vmap[key]
+        if counts[vi] < max_points:
+            voxels[vi][counts[vi]] = p
+            counts[vi] += 1
+    if not voxels:
+        return (np.zeros((0, max_points, points.shape[1]), points.dtype),
+                np.zeros((0, 3), np.int32), np.zeros((0,), np.int32))
+    return np.stack(voxels), np.stack(coords).astype(np.int32), np.array(counts, np.int32)
+
+
+def test_parity_random(rng):
+    pts = rng.uniform(-80, 80, size=(5000, 5)).astype(np.float32)
+    vs = [0.32, 0.32, 6.0]
+    cr = [-74.88, -74.88, -2, 74.88, 74.88, 4.0]
+    v1, c1, n1 = points_to_voxel(pts, vs, cr, max_points=20, max_voxels=32000)
+    v2, c2, n2 = _reference_loop(pts, vs, cr, 20, 32000)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(n1, n2)
+    np.testing.assert_allclose(v1, v2)
+
+
+def test_caps_respected(rng):
+    # many points in few cells -> max_points truncation in arrival order
+    pts = np.zeros((100, 4), np.float32)
+    pts[:, 0] = 0.05
+    pts[:, 1] = 0.05
+    pts[:, 2] = 0.5
+    pts[:, 3] = np.arange(100)
+    v, c, n = points_to_voxel(pts, [0.1, 0.1, 1.0], [0, 0, 0, 1, 1, 1],
+                              max_points=5, max_voxels=10)
+    assert v.shape[0] == 1 and n[0] == 5
+    np.testing.assert_allclose(v[0, :, 3], [0, 1, 2, 3, 4])
+
+
+def test_max_voxels_drop(rng):
+    # 100 distinct cells but cap at 7 voxels: first 7 by arrival survive
+    pts = np.stack([np.linspace(0.05, 9.95, 100),
+                    np.full(100, 0.5), np.full(100, 0.5)], axis=1).astype(np.float32)
+    v, c, n = points_to_voxel(pts, [0.1, 1.0, 1.0], [0, 0, 0, 10, 1, 1],
+                              max_points=3, max_voxels=7)
+    assert v.shape[0] == 7
+    # zyx coords; x cell of i-th point is floor(pts_x/0.1)
+    np.testing.assert_array_equal(c[:, 2], np.floor(pts[:7, 0] / 0.1).astype(int))
+
+
+def test_voxel_generator():
+    gen = VoxelGenerator([0.32, 0.32, 6.0], [-74.88, -74.88, -2, 74.88, 74.88, 4.0], 20, 32000)
+    np.testing.assert_array_equal(gen.grid_size, [468, 468, 1])
+    pts = np.array([[0.0, 0.0, 0.0, 1.0]], np.float32)
+    v, c, n = gen.generate(pts)
+    assert v.shape == (1, 20, 4)
+    # zyx: x cell = (0+74.88)/0.32 = 234
+    np.testing.assert_array_equal(c[0], [0, 234, 234])
