@@ -24,6 +24,7 @@ from ..norm import BatchNorm
 from ..registry import HEADS
 from ..losses.centernet import fast_focal_loss, reg_loss
 from ...ops.nms import rotated_nms, circle_nms
+from ...ops.topk import top_k
 
 
 def _bias_init(value):
@@ -208,7 +209,7 @@ def post_process_task(boxes, hm, test_cfg, task_id):
     masked = jnp.where(valid, scores, -jnp.inf)
 
     k = min(pre_max, masked.shape[-1])
-    top_scores, top_idx = jax.lax.top_k(masked, k)
+    top_scores, top_idx = top_k(masked, k)
     top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
     top_labels = jnp.take_along_axis(labels, top_idx, axis=1)
 

@@ -1,21 +1,29 @@
 """Rotated BEV box IoU in pure JAX.
 
 TPU-native replacement for the reference's CUDA rotated-overlap kernels
-(det3d/ops/iou3d_nms/src/iou3d_nms_kernel.cu, det3d/core/iou3d). Instead of a
-per-pair scalar kernel we clip convex polygons with fixed-size vertex buffers
-(Sutherland–Hodgman, max 8 vertices for rect∩rect) so everything vmaps and
-runs on the VPU with static shapes.
+(det3d/ops/iou3d_nms/src/iou3d_nms_kernel.cu, det3d/core/iou3d). The CUDA
+code clips polygons with per-pair scalar loops; scalar loops, scatters,
+small sorts AND rolls along a materialized ring axis all map poorly onto the
+TPU, so the rect∩rect area here is a Sutherland–Hodgman clip where the
+polygon ring lives in a *Python list of per-slot coordinate arrays*:
 
-Boxes are BEV rects ``(cx, cy, dx, dy, heading)`` — pcdet layout, i.e. columns
-[0, 1, 3, 4, 6] of a 7-dof box.
+- ring rotation / interleaving are list operations — free at trace time;
+- every numeric op is elementwise over the broadcasted pair shape, so XLA
+  fuses the whole clip into a few VPU kernels with no ring-axis
+  materialization in HBM;
+- duplicate vertices are allowed (zero-length edges clip correctly), so a
+  clip just doubles the slot list (4 -> 8 -> 16 -> 32 -> 64) and invalid
+  slots are refilled from their circular predecessor with log2(n) selects;
+- area = shoelace over the final slot list (duplicates contribute 0).
+
+Boxes are BEV rects ``(cx, cy, dx, dy, heading)`` — pcdet layout, i.e.
+columns [0, 1, 3, 4, 6] of a 7-dof box.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
-_MAX_VERTS = 8  # rect clipped by 4 half-planes has at most 4 + 4 vertices
 
 
 def box_to_corners(boxes: jnp.ndarray) -> jnp.ndarray:
@@ -30,70 +38,101 @@ def box_to_corners(boxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([gx, gy], axis=-1)
 
 
-def _clip_polygon(verts, count, a, b):
-    """Clip polygon (verts: (8,2), count valid) by half-plane left of a->b."""
-    edge = b - a
-    # signed distance > 0 means inside (left of directed edge, CCW polygon)
-    d = edge[0] * (verts[:, 1] - a[1]) - edge[1] * (verts[:, 0] - a[0])
-
-    idx = jnp.arange(_MAX_VERTS)
-    nxt = jnp.where(idx + 1 >= count, 0, idx + 1)
-    d_next = d[nxt]
-    v_next = verts[nxt]
-
-    valid = idx < count
-    cur_in = d >= 0
-    nxt_in = d_next >= 0
-
-    emit_cur = valid & cur_in
-    crossing = valid & (cur_in != nxt_in)
-
-    t = d / jnp.where(jnp.abs(d - d_next) < _EPS, _EPS, d - d_next)
-    inter = verts + t[:, None] * (v_next - verts)
-
-    n_emit = emit_cur.astype(jnp.int32) + crossing.astype(jnp.int32)
-    offset = jnp.cumsum(n_emit) - n_emit
-    pos_cur = jnp.where(emit_cur, offset, _MAX_VERTS)
-    pos_int = jnp.where(crossing, offset + emit_cur.astype(jnp.int32), _MAX_VERTS)
-
-    out = jnp.zeros_like(verts)
-    out = out.at[pos_cur].set(verts, mode="drop")
-    out = out.at[pos_int].set(inter, mode="drop")
-    new_count = jnp.sum(n_emit)
-
-    # pad tail slots with the last valid vertex so shoelace closes cleanly
-    last = out[jnp.maximum(new_count - 1, 0)]
-    out = jnp.where((idx < new_count)[:, None], out, last[None, :])
-    return out, new_count
+def _corner_slots_cols(cx, cy, dx, dy, ang):
+    """Rect params as broadcastable arrays -> 4 CCW corner slot lists."""
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    xs, ys = [], []
+    for ux, uy in ((1, 1), (-1, 1), (-1, -1), (1, -1)):
+        lx = 0.5 * ux * dx
+        ly = 0.5 * uy * dy
+        xs.append(cx + lx * c - ly * s)
+        ys.append(cy + lx * s + ly * c)
+    return xs, ys
 
 
-def _pair_intersection_area(corners_a, corners_b):
-    """Intersection area of two CCW quads, each (4, 2)."""
-    verts = jnp.zeros((_MAX_VERTS, 2), corners_a.dtype)
-    verts = verts.at[:4].set(corners_a)
-    # pad with last vertex for the shoelace trick
-    verts = verts.at[4:].set(corners_a[3][None, :])
-    count = jnp.int32(4)
+def _corner_slots(boxes):
+    """(..., 5) rects -> 4 CCW corner slots as ([x0..x3], [y0..y3]) lists."""
+    return _corner_slots_cols(*(boxes[..., i] for i in range(5)))
 
-    def clip_step(i, carry):
-        v, c = carry
-        a = corners_b[i]
-        b = corners_b[(i + 1) % 4]
-        return _clip_polygon(v, c, a, b)
 
-    verts, count = jax.lax.fori_loop(0, 4, clip_step, (verts, count))
+def _fill_from_predecessor(xs, ys, valid):
+    """Refill invalid slots from the nearest valid circular predecessor."""
+    n = len(xs)
+    k = 1
+    while k < n:
+        nxs, nys, nvalid = [], [], []
+        for i in range(n):
+            j = (i - k) % n
+            take = (~valid[i]) & valid[j]
+            nxs.append(jnp.where(take, xs[j], xs[i]))
+            nys.append(jnp.where(take, ys[j], ys[i]))
+            nvalid.append(valid[i] | valid[j])
+        xs, ys, valid = nxs, nys, nvalid
+        k *= 2
+    return xs, ys, valid
 
-    nxt = jnp.roll(verts, -1, axis=0)
-    cross = verts[:, 0] * nxt[:, 1] - verts[:, 1] * nxt[:, 0]
-    area = 0.5 * jnp.abs(jnp.sum(cross))
-    return jnp.where(count >= 3, area, 0.0)
+
+def _clip_halfplane(xs, ys, alive, ax, ay, bx, by):
+    """Clip duplicate-ring polygons by the half-plane left of a->b."""
+    n = len(xs)
+    ex, ey = bx - ax, by - ay
+    d = [ex * (ys[i] - ay) - ey * (xs[i] - ax) for i in range(n)]
+
+    oxs, oys, ovalid = [], [], []
+    for i in range(n):
+        j = (i + 1) % n
+        cur_in = d[i] >= 0
+        nxt_in = d[j] >= 0
+        crossing = cur_in != nxt_in
+
+        denom = d[i] - d[j]
+        t = d[i] / jnp.where(jnp.abs(denom) < _EPS, _EPS, denom)
+        ix = xs[i] + t * (xs[j] - xs[i])
+        iy = ys[i] + t * (ys[j] - ys[i])
+
+        # even slot: the current vertex if inside, else the entry point
+        oxs.append(jnp.where(cur_in, xs[i], ix))
+        oys.append(jnp.where(cur_in, ys[i], iy))
+        ovalid.append(cur_in | crossing)
+        # odd slot: the exit point when leaving the half-plane
+        oxs.append(ix)
+        oys.append(iy)
+        ovalid.append(cur_in & crossing)
+
+    any_valid = ovalid[0]
+    for v in ovalid[1:]:
+        any_valid = any_valid | v
+    alive = alive & any_valid
+    oxs, oys, _ = _fill_from_predecessor(oxs, oys, ovalid)
+    return oxs, oys, alive
+
+
+def rotated_intersection_area(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise BEV intersection areas for broadcastable (..., 5) rects."""
+    shape = jnp.broadcast_shapes(boxes_a.shape[:-1], boxes_b.shape[:-1])
+    boxes_a = jnp.broadcast_to(boxes_a, shape + (5,))
+    boxes_b = jnp.broadcast_to(boxes_b, shape + (5,))
+
+    xs, ys = _corner_slots(boxes_a)
+    bxs, bys = _corner_slots(boxes_b)
+    alive = jnp.ones(shape, bool)
+    for i in range(4):
+        j = (i + 1) % 4
+        xs, ys, alive = _clip_halfplane(xs, ys, alive, bxs[i], bys[i], bxs[j], bys[j])
+
+    n = len(xs)
+    area2 = None
+    for i in range(n):
+        j = (i + 1) % n
+        term = xs[i] * ys[j] - xs[j] * ys[i]
+        area2 = term if area2 is None else area2 + term
+    area = 0.5 * jnp.abs(area2)
+    return jnp.where(alive, area, 0.0)
 
 
 def rotated_overlap_1_to_n(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
     """BEV intersection areas of one (5,) box with (N, 5) boxes."""
-    ca = box_to_corners(box)
-    cb = box_to_corners(boxes)
-    return jax.vmap(lambda b: _pair_intersection_area(ca, b))(cb)
+    return rotated_intersection_area(box[None, :], boxes)
 
 
 def rotated_iou_1_to_n(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
@@ -105,4 +144,7 @@ def rotated_iou_1_to_n(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
 
 def rotated_iou_matrix(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
     """(N, 5) x (M, 5) -> (N, M) BEV IoU matrix."""
-    return jax.vmap(lambda a: rotated_iou_1_to_n(a, boxes_b))(boxes_a)
+    inter = rotated_intersection_area(boxes_a[:, None, :], boxes_b[None, :, :])
+    area_a = (boxes_a[:, 2] * boxes_a[:, 3])[:, None]
+    area_b = (boxes_b[:, 2] * boxes_b[:, 3])[None, :]
+    return inter / jnp.maximum(area_a + area_b - inter, _EPS)

@@ -1,12 +1,21 @@
-"""Test env: force CPU with 8 virtual devices BEFORE jax initializes, so all
-multi-chip sharding tests run anywhere (the JAX analogue of a fake backend)."""
+"""Test env: force CPU with 8 virtual devices so multi-chip sharding tests run
+anywhere (the JAX analogue of a fake backend).
+
+Note: this environment pre-imports jax at interpreter startup and sets
+JAX_PLATFORMS=axon, so plain env vars are too late — we must go through
+jax.config. XLA_FLAGS is still read at (lazy) backend init, which hasn't
+happened yet when conftest runs.
+"""
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
