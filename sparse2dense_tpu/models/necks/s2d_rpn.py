@@ -1,0 +1,176 @@
+"""S2D_RPN: the Sparse2Dense densification neck for voxel models.
+
+Rebuild of the reference S2D_RPN (det3d/models/necks/rpn.py:165-337) in NHWC:
+
+- S2D module: encoder_1 (stride-2 k2 conv) -> encoder_2 (stride-2) -> 3
+  ConvNeXt blocks -> decoder_1 (2x up) + skip concat -> decoder_2 (2x up)
+  producing the dense feature F_S_b; F_S_a = fusion_dense(F_S_b) +
+  fusion_sparse(x) (reference :311).
+- PCR module (train only): out_conv 1x1 -> 640ch, reshaped to a 5-deep 3D
+  volume (N, 5, H, W, 128), then 3D transpose-conv generators emitting
+  occupancy logits ``gen_mask_{2,4}`` and point offsets ``gen_offset_{2,4}``
+  at 1/4 and 1/2 resolution (reference :263-297,314-323).
+- The RPN trunk then runs on F_S_a. forward returns the same 7-tuple as the
+  reference (:337).
+
+Deviation (documented): the reference's ConvNeXt LayerNorm normalizes over
+the full (C, H, W) volume with a shape-bound affine (nn.LayerNorm([256,47,47]))
+which hard-codes the grid; we use the ConvNeXt-standard per-position channel
+LayerNorm, which is shape-agnostic and TPU-friendly.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..norm import BatchNorm, LayerNorm2d
+from ..registry import NECKS
+from .rpn import RPN
+
+
+class ConvBNGelu(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            name="conv",
+        )(x)
+        x = BatchNorm(axis_name=self.axis_name, name="norm")(
+            x, use_running_average=not train
+        )
+        return nn.gelu(x)
+
+
+class ConvTBNGelu(nn.Module):
+    """ConvTranspose 2x upsampling + BN + GELU (torch k4/s2/p1 == flax SAME)."""
+
+    features: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.ConvTranspose(
+            self.features, (4, 4), strides=(2, 2), padding="SAME",
+            name="conv",
+        )(x)
+        x = BatchNorm(axis_name=self.axis_name, name="norm")(
+            x, use_running_average=not train
+        )
+        return nn.gelu(x)
+
+
+class ConvNeXtBlock(nn.Module):
+    """Depthwise 7x7 -> LN -> 1x1 4x expand -> GELU -> 1x1 project."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(
+            self.features, (7, 7), padding=[(3, 3)] * 2,
+            feature_group_count=self.features, name="dwconv",
+        )(x)
+        y = LayerNorm2d(name="norm")(y)
+        y = nn.Conv(self.features * 4, (1, 1), name="pw1")(y)
+        y = nn.gelu(y)
+        y = nn.Conv(self.features, (1, 1), name="pw2")(y)
+        return y
+
+
+class Conv3dBNAct(nn.Module):
+    features: int
+    act: str = "relu"
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(self.features, (1, 1, 1), name="conv")(x)
+        x = BatchNorm(axis_name=self.axis_name, name="norm")(
+            x, use_running_average=not train
+        )
+        return nn.relu(x) if self.act == "relu" else nn.gelu(x)
+
+
+class ConvT3dBNRelu(nn.Module):
+    """3D ConvTranspose 2x upsampling (torch k4/s2/p1 == flax SAME)."""
+
+    features: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.ConvTranspose(
+            self.features, (4, 4, 4), strides=(2, 2, 2),
+            padding="SAME", name="conv",
+        )(x)
+        x = BatchNorm(axis_name=self.axis_name, name="norm")(
+            x, use_running_average=not train
+        )
+        return nn.relu(x)
+
+
+@NECKS.register_module
+class S2D_RPN(RPN):
+    """Returns (rpn_out, gen_offset_2, gen_mask_2, gen_offset_4, gen_mask_4,
+    F_S_a, F_S_b); PCR outputs are NDHWC (offsets 3ch, mask logits 1ch) and
+    None at eval, matching reference rpn.py:300-337."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_in = self.num_input_features
+        an = self.axis_name
+
+        # ---- S2D module ----
+        y1 = ConvBNGelu(256, kernel=2, stride=2, padding=0, axis_name=an,
+                        name="encoder_1a")(x, train)
+        y1 = ConvBNGelu(256, axis_name=an, name="encoder_1b")(y1, train)
+        y2 = ConvBNGelu(256, stride=2, axis_name=an, name="encoder_2a")(y1, train)
+        y2 = ConvBNGelu(256, axis_name=an, name="encoder_2b")(y2, train)
+
+        att = ConvNeXtBlock(256, name="convnext_1")(y2) + y2
+        att = ConvNeXtBlock(256, name="convnext_2")(att) + att
+        att = nn.gelu(ConvNeXtBlock(256, name="convnext_3")(att) + att)
+
+        up1 = ConvTBNGelu(256, axis_name=an, name="decoder_1")(att, train)
+        y3 = jnp.concatenate([up1, y1], axis=-1)
+        f_s_b = ConvBNGelu(256, axis_name=an, name="decoder_2a")(y3, train)
+        f_s_b = ConvTBNGelu(c_in, axis_name=an, name="decoder_2b")(f_s_b, train)
+
+        f_s_a = (
+            ConvBNGelu(c_in, kernel=1, padding=0, axis_name=an, name="fusion_dense")(f_s_b, train)
+            + ConvBNGelu(c_in, kernel=1, padding=0, axis_name=an, name="fusion_sparse")(x, train)
+        )
+
+        # ---- PCR module (train only) ----
+        if train:
+            b, h, w, _ = x.shape
+            gen = ConvBNGelu(640, kernel=1, padding=0, axis_name=an, name="out_conv")(
+                f_s_b, train
+            )
+            # torch view(N,128,5,H,W): 640 channels split (C=128 outer, D=5)
+            gen = gen.reshape(b, h, w, 128, 5)
+            gen = jnp.transpose(gen, (0, 4, 1, 2, 3))  # (B, 5, H, W, 128)
+            gen = Conv3dBNAct(32, axis_name=an, name="generator_1a")(gen, train)
+            gen = ConvT3dBNRelu(32, axis_name=an, name="generator_1b")(gen, train)
+            gen_offset_4 = nn.Conv(3, (1, 1, 1), name="gen_out_4")(gen)
+            gen_mask_4 = nn.Conv(1, (1, 1, 1), name="gen_mask_4")(gen)
+            gen = Conv3dBNAct(16, axis_name=an, name="generator_2a")(gen, train)
+            gen = ConvT3dBNRelu(3, axis_name=an, name="generator_2b")(gen, train)
+            gen_offset_2 = nn.Conv(3, (1, 1, 1), name="gen_out_2")(gen)
+            gen_mask_2 = nn.Conv(1, (1, 1, 1), name="gen_mask_2")(gen)
+        else:
+            gen_offset_2 = gen_mask_2 = gen_offset_4 = gen_mask_4 = None
+
+        # ---- RPN trunk on the fused feature ----
+        out, _ = self.trunk_and_ups(f_s_a, train)
+        return out, gen_offset_2, gen_mask_2, gen_offset_4, gen_mask_4, f_s_a, f_s_b

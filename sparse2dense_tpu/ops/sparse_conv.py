@@ -1,0 +1,270 @@
+"""Sparse 3D convolution engine, TPU-native.
+
+Replaces spconv (external C++/CUDA, consumed by the reference at
+det3d/models/backbones/scn.py:8,104-152) with an XLA-friendly
+gather-GEMM-scatter design built entirely from static-shape primitives:
+
+- the active-site index structure is a DENSE int32 grid (voxel cell ->
+  row index, -1 empty), built with one scatter; neighbor lookup is pure
+  gathers — no hashing, no sorting, no host rulebooks, so the whole
+  backbone jits as one graph and runs on device;
+- submanifold conv (spconv.SubMConv3d): outputs live exactly on the input
+  active sites; for each of the K^3 taps, gather neighbor features and
+  accumulate a (V, Cin) @ (Cin, Cout) matmul on the MXU;
+- strided sparse conv (spconv.SparseConv3d): the output active set is the
+  union of covered coarse cells, constructed on device by scattering flags
+  into the coarse grid and compacting with a cumsum (deterministic
+  grid-linear order — a different enumeration order than spconv's
+  first-appearance order, but the same set, and numerics don't depend on
+  row order);
+- every stage has a fixed voxel budget; overflow drops the
+  highest-linear-index cells deterministically (real scenes stay well
+  under budget — budgets mirror the spconv stage shapes in SURVEY.md §7).
+
+Coordinates are (z, y, x) int32 with -1 rows for padding, matching the
+reference's reversed-coordinate convention (point_cloud_ops.py:40).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def ravel_coords(coords: jnp.ndarray, grid: Sequence[int]) -> jnp.ndarray:
+    """(..., 3) zyx int coords -> linear index; invalid/-1 coords -> -1."""
+    d, h, w = grid
+    z, y, x = coords[..., 0], coords[..., 1], coords[..., 2]
+    ok = (z >= 0) & (z < d) & (y >= 0) & (y < h) & (x >= 0) & (x < w)
+    lin = (z * h + y) * w + x
+    return jnp.where(ok, lin, -1)
+
+
+def build_index_grid(coords: jnp.ndarray, valid: jnp.ndarray, grid: Sequence[int]) -> jnp.ndarray:
+    """Dense cell->row map. coords (V, 3) zyx, valid (V,). Returns flat (D*H*W,) int32.
+
+    Invalid rows are routed to index ``size`` (one past the end): JAX wraps
+    negative indices even under mode="drop", so -1 would clobber the last cell.
+    """
+    size = int(np.prod(grid))
+    lin = ravel_coords(coords, grid)
+    lin = jnp.where(valid & (lin >= 0), lin, size)
+    table = jnp.full((size,), -1, jnp.int32)
+    return table.at[lin].set(
+        jnp.arange(coords.shape[0], dtype=jnp.int32), mode="drop"
+    )
+
+
+def _kernel_offsets(ksize: Tuple[int, int, int]) -> np.ndarray:
+    """All tap offsets relative to the kernel center/origin, zyx order."""
+    kz, ky, kx = ksize
+    offs = [(z, y, x) for z in range(kz) for y in range(ky) for x in range(kx)]
+    return np.asarray(offs, np.int32)
+
+
+def subm_neighbor_table(
+    coords: jnp.ndarray,
+    valid: jnp.ndarray,
+    index_grid: jnp.ndarray,
+    grid: Sequence[int],
+    ksize: Tuple[int, int, int] = (3, 3, 3),
+) -> jnp.ndarray:
+    """Neighbor row indices for submanifold conv.
+
+    Returns (V, K) int32: for output row v and tap k, the input row of the
+    active neighbor at coords[v] + offset_k - center, or -1.
+    """
+    offs = _kernel_offsets(ksize)
+    center = (np.asarray(ksize, np.int32) - 1) // 2
+    rel = jnp.asarray(offs - center[None, :])  # (K, 3)
+    nb = coords[:, None, :] + rel[None, :, :]  # (V, K, 3)
+    lin = ravel_coords(nb, grid)  # (V, K), -1 when off-grid
+    idx = jnp.where(lin >= 0, index_grid[jnp.maximum(lin, 0)], -1)
+    return jnp.where(valid[:, None], idx, -1)
+
+
+def downsample_active_set(
+    coords: jnp.ndarray,
+    valid: jnp.ndarray,
+    grid_in: Sequence[int],
+    grid_out: Sequence[int],
+    stride: Tuple[int, int, int],
+    padding: Tuple[int, int, int],
+    ksize: Tuple[int, int, int],
+    out_budget: int,
+):
+    """Active output set of a strided sparse conv, on device.
+
+    For each input site c and tap k, the output cell o = (c + p - k) / s is
+    covered when the division is exact and o is in range. We scatter flags
+    into the coarse grid, compact with a cumsum, and emit up to
+    ``out_budget`` output coords in grid-linear order.
+
+    Returns (out_coords (Vo, 3) int32 with -1 padding, out_valid (Vo,) bool).
+    """
+    offs = jnp.asarray(_kernel_offsets(ksize))  # (K, 3)
+    s = jnp.asarray(stride, jnp.int32)
+    p = jnp.asarray(padding, jnp.int32)
+
+    num = coords[:, None, :] + p[None, None, :] - offs[None, :, :]  # (V, K, 3)
+    exact = (num % s[None, None, :]) == 0
+    o = num // s[None, None, :]
+    ok = valid[:, None] & jnp.all(exact, axis=-1)
+    lin = ravel_coords(o, grid_out)  # also handles range check
+    lin = jnp.where(ok, lin, -1)
+
+    size_out = int(np.prod(grid_out))
+    flags = jnp.zeros((size_out,), jnp.int32)
+    # -1 sentinels must be mapped truly out of bounds (negatives wrap in JAX)
+    safe_lin = jnp.where(lin >= 0, lin, size_out).reshape(-1)
+    flags = flags.at[safe_lin].set(1, mode="drop")
+
+    pos = jnp.cumsum(flags) - flags  # exclusive prefix sum: output slot per cell
+    slot = jnp.where((flags > 0) & (pos < out_budget), pos, out_budget)
+    out_lin = jnp.full((out_budget + 1,), -1, jnp.int32)
+    cell_ids = jnp.arange(size_out, dtype=jnp.int32)
+    out_lin = out_lin.at[slot].set(cell_ids, mode="drop")[:out_budget]
+
+    out_valid = out_lin >= 0
+    safe = jnp.maximum(out_lin, 0)
+    d, h, w = grid_out
+    oz = safe // (h * w)
+    oy = (safe // w) % h
+    ox = safe % w
+    out_coords = jnp.stack([oz, oy, ox], axis=-1).astype(jnp.int32)
+    out_coords = jnp.where(out_valid[:, None], out_coords, -1)
+    return out_coords, out_valid
+
+
+def downsample_neighbor_table(
+    out_coords: jnp.ndarray,
+    out_valid: jnp.ndarray,
+    in_index_grid: jnp.ndarray,
+    grid_in: Sequence[int],
+    stride: Tuple[int, int, int],
+    padding: Tuple[int, int, int],
+    ksize: Tuple[int, int, int],
+) -> jnp.ndarray:
+    """(Vo, K) input rows feeding each output site: c = o*s - p + k."""
+    offs = jnp.asarray(_kernel_offsets(ksize))
+    s = jnp.asarray(stride, jnp.int32)
+    p = jnp.asarray(padding, jnp.int32)
+    c = out_coords[:, None, :] * s[None, None, :] - p[None, None, :] + offs[None, :, :]
+    lin = ravel_coords(c, grid_in)
+    idx = jnp.where(lin >= 0, in_index_grid[jnp.maximum(lin, 0)], -1)
+    return jnp.where(out_valid[:, None], idx, -1)
+
+
+def gather_conv(
+    features: jnp.ndarray,
+    neighbor_table: jnp.ndarray,
+    weights: jnp.ndarray,
+    bias: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Gather-GEMM-accumulate sparse convolution compute.
+
+    features: (V_in, Cin); neighbor_table: (V_out, K) int32 (-1 = no input);
+    weights: (K, Cin, Cout). Returns (V_out, Cout).
+
+    One MXU matmul per tap; the gather uses index 0 with a zero mask instead
+    of OOB semantics so XLA emits a plain dynamic-gather.
+    """
+    vout, k = neighbor_table.shape
+    cout = weights.shape[-1]
+    out = jnp.zeros((vout, cout), features.dtype)
+    for tap in range(k):
+        idx = neighbor_table[:, tap]
+        mask = (idx >= 0)[:, None].astype(features.dtype)
+        g = features[jnp.maximum(idx, 0)] * mask  # (V_out, Cin)
+        out = out + jnp.dot(g, weights[tap], preferred_element_type=jnp.float32).astype(features.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def gather_conv_batched(
+    features: jnp.ndarray,
+    neighbor_table: jnp.ndarray,
+    weights: jnp.ndarray,
+    bias: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Batched gather-GEMM: features (B, V_in, Cin), table (B, V_out, K),
+    weights (K, Cin, Cout) -> (B, V_out, Cout). One MXU matmul per tap over
+    the whole batch."""
+    b, vout, k = neighbor_table.shape
+    cout = weights.shape[-1]
+    out = jnp.zeros((b, vout, cout), features.dtype)
+    for tap in range(k):
+        idx = neighbor_table[:, :, tap]
+        mask = (idx >= 0)[..., None].astype(features.dtype)
+        g = jnp.take_along_axis(
+            features, jnp.maximum(idx, 0)[..., None], axis=1
+        ) * mask  # (B, V_out, Cin)
+        out = out + jnp.einsum(
+            "bvc,cd->bvd", g, weights[tap], preferred_element_type=jnp.float32
+        ).astype(features.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def build_index_grid_batched(coords, valid, grid):
+    return jax.vmap(lambda c, v: build_index_grid(c, v, grid))(coords, valid)
+
+
+def subm_neighbor_table_batched(coords, valid, index_grid, grid, ksize=(3, 3, 3)):
+    return jax.vmap(
+        lambda c, v, g: subm_neighbor_table(c, v, g, grid, ksize)
+    )(coords, valid, index_grid)
+
+
+def downsample_active_set_batched(
+    coords, valid, grid_in, grid_out, stride, padding, ksize, out_budget
+):
+    return jax.vmap(
+        lambda c, v: downsample_active_set(
+            c, v, grid_in, grid_out, stride, padding, ksize, out_budget
+        )
+    )(coords, valid)
+
+
+def downsample_neighbor_table_batched(
+    out_coords, out_valid, in_index_grid, grid_in, stride, padding, ksize
+):
+    return jax.vmap(
+        lambda oc, ov, g: downsample_neighbor_table(
+            oc, ov, g, grid_in, stride, padding, ksize
+        )
+    )(out_coords, out_valid, in_index_grid)
+
+
+def conv_out_grid(
+    grid_in: Sequence[int],
+    stride: Tuple[int, int, int],
+    padding: Tuple[int, int, int],
+    ksize: Tuple[int, int, int],
+) -> Tuple[int, int, int]:
+    """Static output grid of a strided sparse conv."""
+    return tuple(
+        (g + 2 * p - k) // s + 1
+        for g, s, p, k in zip(grid_in, stride, padding, ksize)
+    )
+
+
+def scatter_to_dense(
+    features: jnp.ndarray,
+    coords: jnp.ndarray,
+    valid: jnp.ndarray,
+    grid: Sequence[int],
+) -> jnp.ndarray:
+    """(V, C) rows -> dense (D, H, W, C); the TPU analogue of
+    spconv SparseConvTensor.dense() (reference scn.py:173)."""
+    d, h, w = grid
+    lin = ravel_coords(coords, grid)
+    lin = jnp.where(valid & (lin >= 0), lin, d * h * w)  # OOB, not -1 (wraps)
+    canvas = jnp.zeros((d * h * w, features.shape[-1]), features.dtype)
+    canvas = canvas.at[lin].set(features, mode="drop")
+    return canvas.reshape(d, h, w, features.shape[-1])

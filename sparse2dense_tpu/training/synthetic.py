@@ -58,8 +58,16 @@ def make_gt(rng: np.random.RandomState, n_obj: int, pc_range):
 
 
 def make_batch(cfg, batch_size: int, max_voxels: int, seed: int = 0,
-               n_points: int = 4000, n_obj: int = 8, with_targets: bool = True):
-    """Build a static-shape batch dict from a reference-schema config."""
+               n_points: int = 4000, n_obj: int = 8, with_targets: bool = True,
+               distillation: bool = False):
+    """Build a static-shape batch dict from a reference-schema config.
+
+    With ``distillation``, also emits the dense_* and reconstruction_*{,_2,_4}
+    streams the reference Voxelization stage produces when cfg.distillation is
+    set (reference datasets/pipelines/preprocess.py:348-412): dense = the same
+    cloud with extra in-box points, reconstruction = the cloud voxelized at
+    1x/2x/4x voxel size.
+    """
     import jax.numpy as jnp
 
     vg_cfg = cfg["voxel_generator"]
@@ -67,9 +75,25 @@ def make_batch(cfg, batch_size: int, max_voxels: int, seed: int = 0,
     gen = VoxelGenerator(
         vg_cfg["voxel_size"], pc_range, vg_cfg["max_points_in_voxel"], max_voxels
     )
-    n_feats = cfg["S_model"]["reader"].get("num_input_features", 5)
+    model_cfg = cfg["S_model"]
+    if "first_stage_cfg" in model_cfg:  # TwoStageDetector wraps the detector
+        model_cfg = model_cfg["first_stage_cfg"]
+    n_feats = model_cfg["reader"].get("num_input_features", 5)
+
+    gens_recon = {
+        tag: VoxelGenerator(
+            [v * mult for v in vg_cfg["voxel_size"]], pc_range,
+            vg_cfg["max_points_in_voxel"], max_voxels,
+        )
+        for tag, mult in (("", 1), ("_2", 2), ("_4", 4))
+    } if distillation else {}
 
     all_vox, all_coords, all_np = [], [], []
+    extra = {k: [] for k in
+             ("dense_voxels", "dense_coordinates", "dense_num_points")}
+    for tag in gens_recon:
+        for part in ("voxels", "coordinates", "num_points"):
+            extra[f"reconstruction_{part}{tag}"] = []
     targets = []
     for i in range(batch_size):
         rng = np.random.RandomState(seed + i)
@@ -79,6 +103,18 @@ def make_batch(cfg, batch_size: int, max_voxels: int, seed: int = 0,
         all_vox.append(pad_to(v, max_voxels))
         all_coords.append(pad_to(c, max_voxels, fill=-1))
         all_np.append(pad_to(npts, max_voxels))
+        if distillation:
+            dense_pts = make_points(rng, n_points // 2, pc_range, gt_boxes, n_feats)
+            dense_pts = np.concatenate([pts, dense_pts], axis=0)
+            dv, dc, dn = gen.generate(dense_pts)
+            extra["dense_voxels"].append(pad_to(dv, max_voxels))
+            extra["dense_coordinates"].append(pad_to(dc, max_voxels, fill=-1))
+            extra["dense_num_points"].append(pad_to(dn, max_voxels))
+            for tag, g in gens_recon.items():
+                rv, rc, rn = g.generate(pts)
+                extra[f"reconstruction_voxels{tag}"].append(pad_to(rv, max_voxels))
+                extra[f"reconstruction_coordinates{tag}"].append(pad_to(rc, max_voxels, fill=-1))
+                extra[f"reconstruction_num_points{tag}"].append(pad_to(rn, max_voxels))
         if with_targets:
             res = {
                 "mode": "train",
@@ -96,7 +132,12 @@ def make_batch(cfg, batch_size: int, max_voxels: int, seed: int = 0,
                     },
                 },
             }
-            assigner = AssignLabel(cfg=cfg["train_cfg"]["assigner"])
+            head_type = model_cfg["bbox_head"]["type"]
+            if head_type == "MultiGroupHead":
+                from ..data.pipelines.assign_target import AssignTarget
+                assigner = AssignTarget(cfg=cfg["train_cfg"]["assigner"])
+            else:
+                assigner = AssignLabel(cfg=cfg["train_cfg"]["assigner"])
             res, _ = assigner(res, None)
             targets.append(res["lidar"]["targets"])
 
@@ -105,13 +146,29 @@ def make_batch(cfg, batch_size: int, max_voxels: int, seed: int = 0,
         "coordinates": jnp.asarray(np.stack(all_coords)),
         "num_points": jnp.asarray(np.stack(all_np)),
     }
+    for k, lst in extra.items():
+        if lst:
+            batch[k] = jnp.asarray(np.stack(lst))
     if with_targets:
-        n_tasks = len(targets[0]["hm"])
-        for key in ("hm", "anno_box", "ind", "mask", "cat"):
-            batch[key] = [
-                jnp.asarray(np.stack([t[key][ti] for t in targets]))
-                for ti in range(n_tasks)
-            ]
-        batch["ind"] = [x.astype(jnp.int32) for x in batch["ind"]]
-        batch["cat"] = [x.astype(jnp.int32) for x in batch["cat"]]
+        if "hm" in targets[0]:  # CenterHead targets
+            n_tasks = len(targets[0]["hm"])
+            for key in ("hm", "anno_box", "ind", "mask", "cat"):
+                batch[key] = [
+                    jnp.asarray(np.stack([t[key][ti] for t in targets]))
+                    for ti in range(n_tasks)
+                ]
+            batch["ind"] = [x.astype(jnp.int32) for x in batch["ind"]]
+            batch["cat"] = [x.astype(jnp.int32) for x in batch["cat"]]
+            if "gt_boxes_and_cls" in targets[0]:
+                batch["gt_boxes_and_cls"] = jnp.asarray(
+                    np.stack([t["gt_boxes_and_cls"] for t in targets])
+                )
+        else:  # MultiGroupHead anchor targets
+            n_tasks = len(targets[0]["anchors"])
+            for key in ("anchors", "labels", "reg_targets", "reg_weights"):
+                batch[key] = [
+                    jnp.asarray(np.stack([t[key][ti] for t in targets]))
+                    for ti in range(n_tasks)
+                ]
+            batch["labels"] = [x.astype(jnp.int32) for x in batch["labels"]]
     return batch

@@ -70,10 +70,13 @@ class ConfigDict(dict):
 
 
 def _install_det3d_shim():
-    """Make ``det3d.utils.config_tool`` importable for reference config files."""
-    if "det3d.utils.config_tool" in sys.modules:
+    """Make the det3d modules reference config files import resolvable
+    (the complete set across all 28 reference configs:
+    det3d.utils.config_tool.get_downsample_factor, det3d.builder.build_box_coder)."""
+    if "det3d.builder" in sys.modules and "det3d.utils.config_tool" in sys.modules:
         return
     from . import config_tool as _ct
+    from ..core.box_coder import build_box_coder as _bbc
 
     det3d = sys.modules.get("det3d")
     if det3d is None:
@@ -86,6 +89,11 @@ def _install_det3d_shim():
     det3d.utils = utils_mod
     sys.modules["det3d.utils"] = utils_mod
     sys.modules["det3d.utils.config_tool"] = shim
+
+    builder_mod = types.ModuleType("det3d.builder")
+    builder_mod.build_box_coder = _bbc
+    det3d.builder = builder_mod
+    sys.modules["det3d.builder"] = builder_mod
 
 
 class Config:
