@@ -111,14 +111,28 @@ class CenterHead(nn.Module):
         for t, num_cls in enumerate(self.num_classes):
             heads = dict(self.common_heads)
             heads["hm"] = (num_cls, self.num_hm_conv)
-            preds.append(
-                SepHead(
-                    heads=tuple(sorted(heads.items())),
-                    init_bias=self.init_bias,
-                    axis_name=self.axis_name,
-                    name=f"task_{t}",
-                )(x, train)
-            )
+            if self.dcn_head:
+                from ..dcn import DCNSepHead
+
+                preds.append(
+                    DCNSepHead(
+                        heads=tuple(sorted(heads.items())),
+                        num_cls=num_cls,
+                        in_channels=self.share_conv_channel,
+                        init_bias=self.init_bias,
+                        axis_name=self.axis_name,
+                        name=f"task_{t}",
+                    )(x, train)
+                )
+            else:
+                preds.append(
+                    SepHead(
+                        heads=tuple(sorted(heads.items())),
+                        init_bias=self.init_bias,
+                        axis_name=self.axis_name,
+                        name=f"task_{t}",
+                    )(x, train)
+                )
         return preds
 
 

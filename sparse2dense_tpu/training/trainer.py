@@ -1,0 +1,176 @@
+"""Trainer / TS_Trainer (reference det3d/torchie/trainer/trainer.py:209-892).
+
+The epoch loop, hooks, checkpointing and eval gather live here on the host;
+the entire optimization step (forward, loss, grad, clip, optimizer, lr
+schedule — and for TS the teacher forward and all distillation losses) is ONE
+jitted function over the mesh. Validation decodes fixed-size detections on
+device, masks them on host, gathers across processes (single-process here;
+multi-host would merge per-host shards) and calls dataset.evaluation —
+the reference's Trainer.val flow (trainer.py:500-556).
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Callable, Optional
+
+import jax
+import numpy as np
+
+from .checkpoint import load_checkpoint, save_checkpoint
+from .hooks import LogBuffer, build_hooks
+from .train_state import TrainState, make_train_step
+from .distill import branch_of, make_ts_train_step
+
+
+class Trainer:
+    def __init__(self, model, state: TrainState, work_dir: str,
+                 train_step: Optional[Callable] = None,
+                 hooks=None, logger: Optional[logging.Logger] = None,
+                 meta: Optional[dict] = None):
+        self.model = model
+        self.state = state
+        self.work_dir = work_dir
+        self.logger = logger or logging.getLogger("sparse2dense_tpu")
+        self.log_buffer = LogBuffer()
+        self.hooks = hooks if hooks is not None else build_hooks(work_dir=work_dir)
+        self.epoch = 0
+        self.inner_iter = 0
+        self.global_iter = 0
+        self.epoch_length = 0
+        self.current_stats = {}
+        self.meta = meta or {}
+        self._train_step = train_step or jax.jit(make_train_step(model))
+
+    def call_hook(self, name):
+        for h in self.hooks:
+            getattr(h, name)(self)
+
+    # ------------------------------------------------------------ checkpoint
+    def save_checkpoint(self, out_dir, name=None):
+        name = name or f"epoch_{self.epoch + 1}"
+        meta = dict(self.meta)
+        meta.update(epoch=self.epoch + 1, iter=self.global_iter)
+        tree = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        path = save_checkpoint(out_dir, name, tree, meta=meta)
+        self.logger.info(f"saved checkpoint {path}")
+        return path
+
+    def resume(self, path):
+        tree = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        restored, meta = load_checkpoint(path, target=tree)
+        self.state = self.state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=jax.numpy.asarray(restored["step"]),
+        )
+        self.epoch = int(meta.get("epoch", 0))
+        self.global_iter = int(meta.get("iter", 0))
+        self.logger.info(f"resumed from {path}: epoch {self.epoch}")
+
+    # ----------------------------------------------------------------- train
+    def step(self, batch):
+        self.state, metrics = self._train_step(self.state, batch)
+        return metrics
+
+    def train_epoch(self, data_loader):
+        self.epoch_length = len(data_loader)
+        data_loader.set_epoch(self.epoch)
+        self.call_hook("before_train_epoch")
+        for i, batch in enumerate(data_loader):
+            self.inner_iter = i
+            batch.pop("metadata", None)  # host-only, not jittable
+            self.call_hook("before_train_iter")
+            metrics = self.step(batch)
+            self.log_buffer.update(
+                {k: float(v) for k, v in metrics.items()
+                 if np.ndim(v) == 0}
+            )
+            self.call_hook("after_train_iter")
+            self.global_iter += 1
+        self.call_hook("after_train_epoch")
+        self.epoch += 1
+
+    def run(self, data_loader, max_epochs, val_loader=None, val_dataset=None,
+            val_interval=0):
+        self.call_hook("before_run")
+        while self.epoch < max_epochs:
+            self.train_epoch(data_loader)
+            if val_loader is not None and val_interval and (
+                self.epoch % val_interval == 0 or self.epoch == max_epochs
+            ):
+                self.val(val_loader, val_dataset)
+        self.call_hook("after_run")
+
+    # ------------------------------------------------------------------ eval
+    def val(self, data_loader, dataset, output_dir=None):
+        """(reference trainer.py:500-556): predict every batch, key results by
+        metadata token, run dataset.evaluation on host."""
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+
+        @jax.jit
+        def infer(variables, batch_arrays):
+            preds = self.model.apply(variables, batch_arrays, train=False)
+            if isinstance(preds, dict) and "preds" in preds:  # two-stage/KD
+                return self.model.predict(preds)
+            return self.model.predict(preds, example=batch_arrays) \
+                if _needs_example(self.model) else self.model.predict(preds)
+
+        detections = {}
+        for batch in data_loader:
+            meta = batch.pop("metadata", [None] * 1)
+            out = infer(variables, batch)
+            boxes = np.asarray(out["box3d_lidar"])
+            scores = np.asarray(out["scores"])
+            labels = np.asarray(out["label_preds"])
+            valid = np.asarray(out["valid"])
+            for b in range(boxes.shape[0]):
+                m = valid[b]
+                token = meta[b]["token"] if meta[b] else f"frame_{len(detections)}"
+                detections[token] = {
+                    "box3d_lidar": boxes[b][m],
+                    "scores": scores[b][m],
+                    "label_preds": labels[b][m],
+                }
+        out_dir = output_dir or os.path.join(self.work_dir, "eval")
+        os.makedirs(out_dir, exist_ok=True)
+        return dataset.evaluation(detections, output_dir=out_dir)
+
+
+def _needs_example(model):
+    from ..models.heads.mg_head import MultiGroupHead
+
+    head = getattr(model, "bbox_head", None)
+    return isinstance(head, MultiGroupHead)
+
+
+class TS_Trainer(Trainer):
+    """Teacher-student trainer (reference trainer.py:674-892): the teacher is
+    frozen (no grads, eval-mode BN); distillation branch selected by the
+    teacher backbone family."""
+
+    def __init__(self, teacher, t_variables, student, state: TrainState,
+                 work_dir: str, teacher_cfg: dict, **kw):
+        branch = branch_of(teacher_cfg)
+        ts_step = jax.jit(make_ts_train_step(teacher, student, branch))
+        super().__init__(student, state, work_dir,
+                         train_step=None, **kw)
+        self.t_variables = t_variables
+        self._ts_step = ts_step
+        self.branch = branch
+
+    def step(self, batch):
+        self.state, metrics = self._ts_step(self.t_variables, self.state, batch)
+        return metrics
