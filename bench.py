@@ -7,6 +7,14 @@ reference throughput: 31 FPS for the CenterPoint-Pillar model on a TITAN RTX
 (reference configs/nusc/README.md:26-35; the reference publishes no Waymo
 latency numbers — see SURVEY.md §6).
 
+Timing methodology (this TPU is reached through a tunnel whose per-dispatch
+round trip is ~30 ms — larger than the model itself):
+- each measured dispatch runs the FULL inference K times via lax.scan with
+  per-step input perturbations (fresh content defeats the runtime's
+  content-memoization; the scan carry serializes the steps);
+- per-frame time = (T(K2) - T(K1)) / (K2 - K1), which cancels the constant
+  dispatch/tunnel overhead exactly.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
@@ -21,6 +29,7 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from sparse2dense_tpu.utils import Config
     from sparse2dense_tpu.models import build_detector
@@ -40,37 +49,43 @@ def main():
                        n_obj=32, with_targets=False)
     variables = model.init(jax.random.PRNGKey(0), batch, train=False)
 
-    @jax.jit
-    def infer(variables, batch):
-        preds = model.apply(variables, batch, train=False)
-        return model.predict(preds, None)
-
-    # Honest timing on this tunneled TPU: the runtime memoizes executions by
-    # content, so every measured dispatch must see fresh input content, and
-    # the result must be pulled to host before stopping the clock.
-    rng = np.random.RandomState(7)
-    perturbs = [
-        jax.device_put(rng.normal(0, 1e-4, (1, 1, 1, 1)).astype(np.float32))
-        for _ in range(6)
-    ]
-
-    @jax.jit
-    def infer_p(variables, batch, eps):
+    def one_frame(carry, eps):
         b = dict(batch)
-        b["voxels"] = b["voxels"] + eps
+        # carry feeds back so scan steps are serialized end-to-end
+        b["voxels"] = b["voxels"] + eps + carry * 1e-12
         preds = model.apply(variables, b, train=False)
-        return model.predict(preds, None)
+        out = model.predict(preds, None)
+        s = jnp.sum(out["scores"])
+        return s, s
 
-    out = infer_p(variables, batch, perturbs[0])
-    jax.block_until_ready(out)
+    def make_runner(k):
+        @jax.jit
+        def run(eps_stack):
+            _, sums = jax.lax.scan(one_frame, jnp.float32(0.0), eps_stack)
+            return jnp.sum(sums)
+        return run
 
-    times = []
-    for eps in perturbs[1:]:
-        t0 = time.perf_counter()
-        out = infer_p(variables, batch, eps)
-        float(np.asarray(out["scores"]).sum())
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    rng = np.random.RandomState(7)
+
+    def eps_stack(k, salt):
+        return jax.device_put(
+            rng.normal(0, 1e-4, (k, 1, 1, 1, 1)).astype(np.float32) + salt
+        )
+
+    def timed(k, reps=3):
+        run = make_runner(k)
+        float(np.asarray(run(eps_stack(k, 0.0))))  # compile + warmup
+        ts = []
+        for r in range(reps):
+            es = eps_stack(k, 1e-6 * (r + 1))
+            t0 = time.perf_counter()
+            float(np.asarray(run(es)))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    k1, k2 = 4, 12
+    t1, t2 = timed(k1), timed(k2)
+    dt = max((t2 - t1) / (k2 - k1), 1e-6)
     fps = 1.0 / dt
 
     print(json.dumps({

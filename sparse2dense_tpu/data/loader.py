@@ -48,7 +48,13 @@ def _voxel_keys(example):
 
 
 def collate(examples, max_voxels: int):
-    """List of per-frame dicts -> one static-shape batch dict (NumPy)."""
+    """List of per-frame dicts -> one static-shape batch dict (NumPy).
+    Double-flip frames arrive as 4-bundle lists and are flattened so the
+    batch stays grouped [orig, yflip, xflip, double] x frames."""
+    flat = []
+    for e in examples:
+        flat.extend(e) if isinstance(e, list) else flat.append(e)
+    examples = flat
     batch = {}
     ex0 = examples[0]
     for vk, ck, nk in _voxel_keys(ex0):

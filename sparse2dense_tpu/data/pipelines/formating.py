@@ -8,6 +8,7 @@ from __future__ import annotations
 class Reformat:
     def __init__(self, distillation=False, **kwargs):
         self.distillation = distillation
+        self.double_flip = kwargs.get("double_flip", False)
 
     def __call__(self, res, info):
         meta = res.get("metadata")
@@ -39,7 +40,33 @@ class Reformat:
                 bundle[f"reconstruction_num_points{tag}"] = rv["num_points"]
         if res["mode"] in ("train", "val") and "targets" in res["lidar"]:
             bundle.update(res["lidar"]["targets"])
+        if self.double_flip and res["mode"] != "train":
+            # 4-way TTA: [orig, yflip, xflip, double] bundles, collated as a
+            # group of 4 (reference formating.py:75-114)
+            bundles = [bundle]
+            for key in ("yflip", "xflip", "double_flip"):
+                v = res["lidar"][f"{key}_voxels"]
+                bundles.append(dict(
+                    metadata=meta,
+                    voxels=v["voxels"],
+                    shape=v["shape"],
+                    num_points=v["num_points"],
+                    num_voxels=v["num_voxels"],
+                    coordinates=v["coordinates"],
+                ))
+            return bundles, info
         return bundle, info
+
+
+class Empty:
+    """No-op stage (reference configs emit dict(type="Empty") when a TTA
+    stage is disabled)."""
+
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, res, info):
+        return res, info
 
 
 class Compose:
@@ -62,6 +89,7 @@ def build_pipeline(stage_cfgs, distillation=None):
     from .preprocess import Preprocess, Voxelization
     from .assign_label import AssignLabel
     from .assign_target import AssignTarget
+    from .preprocess import DoubleFlip
 
     registry = {
         "LoadPointCloudFromFile": LoadPointCloudFromFile,
@@ -70,6 +98,8 @@ def build_pipeline(stage_cfgs, distillation=None):
         "Voxelization": Voxelization,
         "AssignLabel": AssignLabel,
         "AssignTarget": AssignTarget,
+        "DoubleFlip": DoubleFlip,
+        "Empty": Empty,
         "Reformat": Reformat,
     }
     stages = []

@@ -222,6 +222,28 @@ def filter_gt_box_outside_range(gt_boxes, bv_range):
     return mask
 
 
+class DoubleFlip:
+    """TTA stage (reference datasets/pipelines/test_aug.py): emit y-flipped,
+    x-flipped and double-flipped copies of the point cloud for 4-way
+    test-time augmentation."""
+
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, res, info):
+        points = res["lidar"]["points"].copy()
+        yflip = points.copy()
+        yflip[:, 1] = -yflip[:, 1]
+        xflip = points.copy()
+        xflip[:, 0] = -xflip[:, 0]
+        double = points.copy()
+        double[:, :2] = -double[:, :2]
+        res["lidar"]["yflip_points"] = yflip
+        res["lidar"]["xflip_points"] = xflip
+        res["lidar"]["double_flip_points"] = double
+        return res, info
+
+
 class Voxelization:
     def __init__(self, cfg=None, **kwargs):
         cfg = dict(cfg if cfg is not None else kwargs["cfg"])
@@ -279,5 +301,11 @@ class Voxelization:
             for tag, g in self.voxel_generator_recon.items():
                 res["lidar"][f"reconstruction_voxels{tag}"] = self._pack(
                     *g.generate(recon, max_voxels)
+                )
+        if self.double_flip and res["mode"] != "train":
+            for key in ("yflip", "xflip", "double_flip"):
+                res["lidar"][f"{key}_voxels"] = self._pack(
+                    *self.voxel_generator.generate(
+                        res["lidar"][f"{key}_points"], max_voxels)
                 )
         return res, info

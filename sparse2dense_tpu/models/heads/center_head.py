@@ -254,11 +254,59 @@ def post_process_task(boxes, hm, test_cfg, task_id):
     }
 
 
+def merge_double_flip(pd):
+    """Double-flip TTA merge for one task's raw maps (reference
+    center_head.py:318-414): the batch is ordered in groups of 4
+    [orig, yflip, xflip, xyflip]; un-flip each map, fix the signs of
+    reg/rot/vel, average, return maps with batch B/4."""
+    out = {}
+    grouped = {}
+    for k, v in pd.items():
+        b4, h, w, c = v.shape
+        g = v.reshape(b4 // 4, 4, h, w, c)
+        g = g.at[:, 1].set(jnp.flip(g[:, 1], axis=1))
+        g = g.at[:, 2].set(jnp.flip(g[:, 2], axis=2))
+        g = g.at[:, 3].set(jnp.flip(g[:, 3], axis=(1, 2)))
+        grouped[k] = g
+
+    out["hm"] = jnp.mean(grouped["hm"], axis=1)
+    out["height"] = jnp.mean(grouped["height"], axis=1)
+    out["dim"] = jnp.mean(grouped["dim"], axis=1)
+
+    reg = grouped["reg"]
+    reg = reg.at[:, 1, ..., 1].set(1 - reg[:, 1, ..., 1])
+    reg = reg.at[:, 2, ..., 0].set(1 - reg[:, 2, ..., 0])
+    reg = reg.at[:, 3, ..., 0].set(1 - reg[:, 3, ..., 0])
+    reg = reg.at[:, 3, ..., 1].set(1 - reg[:, 3, ..., 1])
+    out["reg"] = jnp.mean(reg, axis=1)
+
+    rot = grouped["rot"]  # [..., 0]=sin, [..., 1]=cos
+    rots = rot[..., 0:1]
+    rotc = rot[..., 1:2]
+    rotc = rotc.at[:, 1].multiply(-1)
+    rots = rots.at[:, 2].multiply(-1)
+    rots = rots.at[:, 3].multiply(-1)
+    rotc = rotc.at[:, 3].multiply(-1)
+    out["rot"] = jnp.concatenate(
+        [jnp.mean(rots, axis=1), jnp.mean(rotc, axis=1)], axis=-1
+    )
+
+    if "vel" in grouped:
+        vel = grouped["vel"]
+        vel = vel.at[:, 1, ..., 1].multiply(-1)
+        vel = vel.at[:, 2, ..., 0].multiply(-1)
+        vel = vel.at[:, 3].multiply(-1)
+        out["vel"] = jnp.mean(vel, axis=1)
+    return out
+
+
 def center_head_predict(preds, test_cfg, num_classes):
     """All tasks: decode + NMS, concat along candidates with label offsets."""
     rets = []
     flag = 0
     for task_id, pd in enumerate(preds):
+        if test_cfg.get("double_flip", False):
+            pd = merge_double_flip(pd)
         boxes, hm = decode_preds(pd, test_cfg)
         r = post_process_task(boxes, hm, test_cfg, task_id)
         r["label_preds"] = r["label_preds"] + flag
