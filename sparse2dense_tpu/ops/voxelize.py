@@ -19,6 +19,35 @@ from typing import Tuple
 import numpy as np
 
 
+def points_to_voxel_native(points, voxel_size, coors_range, max_points,
+                           max_voxels):
+    """C++ fast path (sparse2dense_tpu/csrc/voxelizer.cpp) — identical
+    first-come-first-serve semantics; returns None if the native library is
+    unavailable."""
+    import ctypes
+
+    from ..csrc import load
+
+    lib = load()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points, dtype=np.float32)
+    n, c = points.shape
+    vs = np.ascontiguousarray(voxel_size, dtype=np.float32)
+    cr = np.ascontiguousarray(coors_range, dtype=np.float32)
+    voxels = np.zeros((max_voxels, max_points, c), np.float32)
+    coords = np.zeros((max_voxels, 3), np.int32)
+    num_points = np.zeros((max_voxels,), np.int32)
+    ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    m = lib.points_to_voxel_fcfs(
+        ptr(points), ctypes.c_int64(n), ctypes.c_int64(c),
+        ptr(vs), ptr(cr),
+        ctypes.c_int64(max_points), ctypes.c_int64(max_voxels),
+        ptr(voxels), ptr(coords), ptr(num_points),
+    )
+    return voxels[:m], coords[:m], num_points[:m]
+
+
 def points_to_voxel(
     points: np.ndarray,
     voxel_size,
@@ -31,7 +60,16 @@ def points_to_voxel(
 
     voxels: (M, max_points, C) float, zero padded. coords: (M, 3) int32,
     zyx when reverse_index else xyz. M <= max_voxels.
+
+    Dispatches to the native C++ kernel when built (csrc/voxelizer.cpp),
+    falling back to the vectorized NumPy implementation below.
     """
+    if reverse_index and np.asarray(points).shape[0] > 0:
+        native = points_to_voxel_native(
+            points, voxel_size, coors_range, max_points, max_voxels
+        )
+        if native is not None:
+            return native
     points = np.asarray(points)
     voxel_size = np.asarray(voxel_size, dtype=points.dtype)
     coors_range = np.asarray(coors_range, dtype=points.dtype)

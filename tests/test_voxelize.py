@@ -77,3 +77,42 @@ def test_voxel_generator():
     assert v.shape == (1, 20, 4)
     # zyx: x cell = (0+74.88)/0.32 = 234
     np.testing.assert_array_equal(c[0], [0, 234, 234])
+
+
+def test_native_matches_numpy(rng):
+    """The C++ kernel must match the NumPy reference implementation exactly
+    (same first-appearance order, same truncation)."""
+    from sparse2dense_tpu.ops.voxelize import points_to_voxel, points_to_voxel_native
+
+    pts = rng.uniform(-10, 10, size=(5000, 5)).astype(np.float32)
+    vs, cr = [0.5, 0.5, 0.5], [-8, -8, -8, 8, 8, 8]
+    native = points_to_voxel_native(pts, vs, cr, max_points=8, max_voxels=700)
+    if native is None:
+        import pytest
+        pytest.skip("native library not built")
+    nv, nc, nn = native
+    # force the NumPy path by passing through a tiny wrapper
+    from sparse2dense_tpu.ops import voxelize as vx
+    import unittest.mock as mock
+    with mock.patch.object(vx, "points_to_voxel_native", lambda *a, **k: None):
+        pv, pc, pn = vx.points_to_voxel(pts, vs, cr, max_points=8, max_voxels=700)
+    np.testing.assert_array_equal(nc, pc)
+    np.testing.assert_array_equal(nn, pn)
+    np.testing.assert_allclose(nv, pv)
+
+
+def test_native_cap_semantics(rng):
+    from sparse2dense_tpu.ops.voxelize import points_to_voxel_native
+    import unittest.mock as mock
+    from sparse2dense_tpu.ops import voxelize as vx
+
+    pts = rng.uniform(-4, 4, size=(3000, 4)).astype(np.float32)
+    vs, cr = [2.0, 2.0, 2.0], [-4, -4, -4, 4, 4, 4]  # few cells -> caps bind
+    native = points_to_voxel_native(pts, vs, cr, max_points=3, max_voxels=10)
+    if native is None:
+        import pytest
+        pytest.skip("native library not built")
+    with mock.patch.object(vx, "points_to_voxel_native", lambda *a, **k: None):
+        ref = vx.points_to_voxel(pts, vs, cr, max_points=3, max_voxels=10)
+    for a, b in zip(native, ref):
+        np.testing.assert_allclose(a, b)
