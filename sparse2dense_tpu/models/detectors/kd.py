@@ -31,6 +31,7 @@ from flax import linen as nn
 
 from ..registry import DETECTORS
 from ..heads.center_head import center_head_loss, center_head_predict
+from ..heads.mg_head import MultiGroupHead, mg_head_loss, mg_head_predict
 from ...ops.sparse_conv import scatter_to_dense
 
 
@@ -152,6 +153,8 @@ class KD_VoxelNet(nn.Module):
         return mask_loss, offset_loss
 
     def loss(self, preds, example):
+        if isinstance(self.bbox_head, MultiGroupHead):
+            return mg_head_loss(self.bbox_head, preds, example)
         return center_head_loss(
             preds, example,
             weight=self.bbox_head.weight,
@@ -159,8 +162,10 @@ class KD_VoxelNet(nn.Module):
             dataset=self.bbox_head.dataset,
         )
 
-    def predict(self, preds, test_cfg=None):
+    def predict(self, preds, test_cfg=None, example=None):
         cfg = test_cfg if test_cfg is not None else self.test_cfg
+        if isinstance(self.bbox_head, MultiGroupHead):
+            return mg_head_predict(self.bbox_head, preds, example, cfg)
         return center_head_predict(preds, cfg, self.bbox_head.num_classes)
 
 
@@ -221,6 +226,8 @@ class KD_PointPillars(nn.Module):
         return mask_offset_loss(go, gm, gt, grid)
 
     def loss(self, preds, example):
+        if isinstance(self.bbox_head, MultiGroupHead):
+            return mg_head_loss(self.bbox_head, preds, example)
         return center_head_loss(
             preds, example,
             weight=self.bbox_head.weight,
@@ -228,6 +235,8 @@ class KD_PointPillars(nn.Module):
             dataset=self.bbox_head.dataset,
         )
 
-    def predict(self, preds, test_cfg=None):
+    def predict(self, preds, test_cfg=None, example=None):
         cfg = test_cfg if test_cfg is not None else self.test_cfg
+        if isinstance(self.bbox_head, MultiGroupHead):
+            return mg_head_predict(self.bbox_head, preds, example, cfg)
         return center_head_predict(preds, cfg, self.bbox_head.num_classes)

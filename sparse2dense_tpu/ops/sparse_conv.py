@@ -114,19 +114,23 @@ def downsample_active_set(
     o = num // s[None, None, :]
     ok = valid[:, None] & jnp.all(exact, axis=-1)
     lin = ravel_coords(o, grid_out)  # also handles range check
-    lin = jnp.where(ok, lin, -1)
 
+    # Dedup the V*K candidate cells by sort + first-occurrence compaction.
+    # This keys on the candidates (≤ 27V elements), NOT the output grid —
+    # a grid-sized cumsum is ~92M elements on the Waymo stage-0 grid and
+    # dominated the whole backbone. Ascending-lin enumeration order and
+    # lowest-linear-id overflow drop are preserved.
     size_out = int(np.prod(grid_out))
-    flags = jnp.zeros((size_out,), jnp.int32)
-    # -1 sentinels must be mapped truly out of bounds (negatives wrap in JAX)
-    safe_lin = jnp.where(lin >= 0, lin, size_out).reshape(-1)
-    flags = flags.at[safe_lin].set(1, mode="drop")
-
-    pos = jnp.cumsum(flags) - flags  # exclusive prefix sum: output slot per cell
-    slot = jnp.where((flags > 0) & (pos < out_budget), pos, out_budget)
-    out_lin = jnp.full((out_budget + 1,), -1, jnp.int32)
-    cell_ids = jnp.arange(size_out, dtype=jnp.int32)
-    out_lin = out_lin.at[slot].set(cell_ids, mode="drop")[:out_budget]
+    flat = jnp.where(ok & (lin >= 0), lin, size_out).reshape(-1)
+    sorted_lin = jnp.sort(flat)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_lin[1:] != sorted_lin[:-1]]
+    ) & (sorted_lin < size_out)
+    slot = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    slot = jnp.where(is_first, jnp.minimum(slot, out_budget), out_budget)
+    out_lin = jnp.full((out_budget + 1,), -1, jnp.int32).at[slot].max(
+        sorted_lin.astype(jnp.int32), mode="drop"
+    )[:out_budget]
 
     out_valid = out_lin >= 0
     safe = jnp.maximum(out_lin, 0)

@@ -140,10 +140,12 @@ def make_ts_train_step(
             logs["sparse2dense_loss"] = s2d
             logs["mask_loss"] = mask_loss
             logs["reconstruction_loss"] = offset_loss
-            logs["T_hm_loss"] = fast_focal_loss(
-                jnp.clip(jax.nn.sigmoid(t_preds[0]["hm"]), 1e-4, 1 - 1e-4),
-                batch["hm"][0], batch["ind"][0], batch["mask"][0], batch["cat"][0],
-            )
+            if branch != "second":  # SECOND teachers have no heatmap head
+                logs["T_hm_loss"] = fast_focal_loss(
+                    jnp.clip(jax.nn.sigmoid(t_preds[0]["hm"]), 1e-4, 1 - 1e-4),
+                    batch["hm"][0], batch["ind"][0], batch["mask"][0],
+                    batch["cat"][0],
+                )
             return total, (logs, mutated["batch_stats"])
 
         (loss, (logs, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

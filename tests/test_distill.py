@@ -89,3 +89,31 @@ def test_ts_train_step(setup):
         assert np.isfinite(float(metrics[k])), (k, float(metrics[k]))
     assert float(metrics["grad_norm"]) > 0
     assert int(state.step) == 1
+
+
+def test_ts_second_branch():
+    """The third distillation branch: SECOND teacher (MultiGroupHead) +
+    KD_VoxelNet student with S2D — masked feature MSE only."""
+    cfg = Config.fromfile(os.path.join(
+        os.path.dirname(__file__), "..", "configs", "tests",
+        "second_distill_tiny.py"))
+    teacher = build_detector(cfg.model, train_cfg=cfg.train_cfg,
+                             test_cfg=cfg.test_cfg,
+                             voxel_generator=cfg.voxel_generator)
+    student = build_detector(cfg.S_model, train_cfg=cfg.train_cfg,
+                             test_cfg=cfg.test_cfg,
+                             voxel_generator=cfg.voxel_generator)
+    assert branch_of(cfg.model) == "second"
+    batch = make_batch(cfg, batch_size=1, max_voxels=128, n_points=300,
+                       n_obj=2, distillation=True)
+    t_vars = teacher.init(jax.random.PRNGKey(0), batch, train=False)
+    s_vars = student.init(jax.random.PRNGKey(1), batch, train=True)
+    tx = build_optimizer(cfg.optimizer, cfg.lr_config, total_steps=4,
+                         grad_clip=cfg.optimizer_config["grad_clip"])
+    state = TrainState.create(apply_fn=student.apply, params=s_vars["params"],
+                              batch_stats=s_vars["batch_stats"], tx=tx)
+    step = jax.jit(make_ts_train_step(teacher, student, "second"))
+    state, metrics = step(t_vars, state, batch)
+    for k in ("loss", "sparse2dense_loss", "mask_loss", "reconstruction_loss"):
+        assert np.isfinite(float(metrics[k])), (k, float(metrics[k]))
+    assert "kd_hm_loss" not in metrics  # SECOND branch: feature MSE only
