@@ -22,7 +22,9 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ...ops.sparse_conv import (
@@ -52,13 +54,128 @@ class SparseTensor(NamedTuple):
 
 def sparse_to_bev(x: SparseTensor, grid: Sequence[int]) -> jnp.ndarray:
     """SparseConvTensor.dense() + view(N, C*D, H, W), as NHWC (B, H, W, C*D)."""
-    import jax
-
     dense = jax.vmap(lambda f, c, v: scatter_to_dense(f, c, v, grid))(
         x.features, x.coords, x.valid
     )  # (B, D, H, W, C)
     b, d, h, w, c = dense.shape
     return jnp.transpose(dense, (0, 2, 3, 4, 1)).reshape(b, h, w, c * d)
+
+
+def dense_subm_conv(x, mask, w, b=None):
+    """Submanifold conv on a DENSE (B, D, H, W, C) grid: a plain 3D conv whose
+    output is masked back to the active set. Exactly equals the gather-GEMM
+    path (inactive inputs are zero; outputs exist only at active sites).
+    w: (K, Cin, Cout) with z-major tap order -> (kz, ky, kx, Cin, Cout)."""
+    k = w.shape[0]
+    if k == 27:
+        kshape = (3, 3, 3)
+    elif k == 3:
+        kshape = (3, 1, 1)
+    else:
+        kshape = (1, 1, k)
+    wk = w.reshape(kshape + w.shape[1:])
+    pad = [(s // 2, s // 2) for s in kshape]
+    y = jax.lax.conv_general_dilated(
+        x, wk, (1, 1, 1), pad,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if b is not None:
+        y = y + b
+    return y * mask
+
+
+def dense_strided_conv(x, mask, w, stride, padding, kshape):
+    """Strided sparse conv on a dense grid: dense conv + the dilated
+    occupancy mask (the active output set IS the kernel-footprint dilation
+    of the input occupancy — same set as downsample_active_set)."""
+    wk = w.reshape(tuple(kshape) + w.shape[1:])
+    pad = [(p, p) for p in padding]
+    y = jax.lax.conv_general_dilated(
+        x, wk, tuple(stride), pad,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    new_mask = jax.lax.reduce_window(
+        mask, -jnp.inf, jax.lax.max,
+        (1,) + tuple(kshape) + (1,), (1,) + tuple(stride) + (1,),
+        [(0, 0)] + list(pad) + [(0, 0)],
+    )
+    new_mask = (new_mask > 0).astype(x.dtype)
+    return y * new_mask, new_mask
+
+
+class DenseSubMStage(nn.Module):
+    """n x [masked dense conv + BN + ReLU] (dense-mode SubMStage)."""
+
+    channels: Sequence[int]
+    use_bias: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        for i, ch in enumerate(self.channels):
+            w = self.param(
+                f"conv_{i}_kernel",
+                nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+                (27, x.shape[-1], ch),
+            )
+            b = (self.param(f"conv_{i}_bias", nn.initializers.zeros, (ch,))
+                 if self.use_bias else None)
+            x = dense_subm_conv(x, mask, w, b)
+            x = BatchNorm(axis_name=self.axis_name, name=f"norm_{i}")(
+                x, mask=mask, use_running_average=not train
+            )
+            x = nn.relu(x) * mask
+        return x
+
+
+class DenseBasicBlock(nn.Module):
+    """Residual block of two masked dense convs (dense-mode SparseBasicBlock;
+    parameter names match the sparse variant so checkpoints interchange)."""
+
+    planes: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        init = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
+        w1 = self.param("conv1_kernel", init, (27, x.shape[-1], self.planes))
+        b1 = self.param("conv1_bias", nn.initializers.zeros, (self.planes,))
+        w2 = self.param("conv2_kernel", init, (27, self.planes, self.planes))
+        b2 = self.param("conv2_bias", nn.initializers.zeros, (self.planes,))
+        out = dense_subm_conv(x, mask, w1, b1)
+        out = BatchNorm(axis_name=self.axis_name, name="bn1")(
+            out, mask=mask, use_running_average=not train)
+        out = nn.relu(out) * mask
+        out = dense_subm_conv(out, mask, w2, b2)
+        out = BatchNorm(axis_name=self.axis_name, name="bn2")(
+            out, mask=mask, use_running_average=not train)
+        return nn.relu(out + x) * mask
+
+
+class DenseDownsample(nn.Module):
+    """Strided conv + BN + ReLU on the dense grid (dense-mode
+    SparseDownsample; parameter names match)."""
+
+    out_channels: int
+    stride: Tuple[int, int, int]
+    padding: Tuple[int, int, int]
+    ksize: Tuple[int, int, int] = (3, 3, 3)
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        w = self.param(
+            "conv_kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (int(np.prod(self.ksize)), x.shape[-1], self.out_channels),
+        )
+        y, new_mask = dense_strided_conv(
+            x, mask, w, self.stride, self.padding, self.ksize)
+        y = BatchNorm(axis_name=self.axis_name, name="norm")(
+            y, mask=new_mask, use_running_average=not train)
+        return nn.relu(y) * new_mask, new_mask
 
 
 class SubMStage(nn.Module):
@@ -156,17 +273,45 @@ class SparseDownsample(nn.Module):
         return SparseTensor(f, oc, ov).masked(), grid_out
 
 
+def densify(x: SparseTensor, grid) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SparseTensor -> (dense (B, D, H, W, C), occupancy mask (B, D, H, W, 1))."""
+    dense = jax.vmap(lambda f, c, v: scatter_to_dense(f, c, v, grid))(
+        x.features, x.coords, x.valid
+    )
+    ones = jnp.ones(x.valid.shape + (1,), x.features.dtype) * \
+        x.valid[..., None].astype(x.features.dtype)
+    mask = jax.vmap(lambda f, c, v: scatter_to_dense(f, c, v, grid))(
+        ones, x.coords, x.valid
+    )
+    return dense, mask
+
+
+def dense_to_bev(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, D, H, W, C) -> (B, H, W, C*D) with channel index c*D+d (the torch
+    view(N, C*D, H, W) layout, reference scn.py:173-176)."""
+    b, d, h, w, c = x.shape
+    return jnp.transpose(x, (0, 2, 3, 4, 1)).reshape(b, h, w, c * d)
+
+
 @BACKBONES.register_module
 class SpMiddleResNetFHD(nn.Module):
     """CenterPoint residual sparse backbone (reference scn.py:89-185).
 
     __call__(voxel_features (B,V,C), coords (B,V,3) zyx, train)
       -> (bev (B, H/8, W/8, 128*2), {"conv1".."conv4": (SparseTensor, grid)}).
+
+    ``dense_from_stage`` switches stages >= k (1=conv2, 2=conv3, 3=conv4,
+    4=extra) from gather-GEMM to masked dense 3D convs — numerically the same
+    operator, but MXU-bound instead of gather-bound. Once the grid shrinks
+    (1/4 resolution: 11x376x376) random row gathers cost far more than the
+    ~3% useful dense FLOPs, so the default densifies from conv3 on. Parameter
+    names are identical in both modes.
     """
 
     num_input_features: int = 128
     sparse_shape: Tuple[int, int, int] = (41, 1504, 1504)  # (D, H, W)
     stage_budgets: Optional[Tuple[int, int, int, int]] = None
+    dense_from_stage: int = 2
     norm_cfg: Optional[dict] = None
     name_tag: str = "SpMiddleResNetFHD"
     is_student: bool = False
@@ -174,57 +319,83 @@ class SpMiddleResNetFHD(nn.Module):
 
     @nn.compact
     def __call__(self, voxel_features, coords, train: bool = False):
+        an = self.axis_name
         valid = jnp.all(coords >= 0, axis=-1)
         x = SparseTensor(voxel_features, coords.astype(jnp.int32), valid).masked()
         v = voxel_features.shape[1]
         budgets = self.stage_budgets or (v, v, v, v)
+        dfs = self.dense_from_stage if self.dense_from_stage is not None else 99
 
-        g0 = self.sparse_shape
-        idx0 = build_index_grid_batched(x.coords, x.valid, g0)
-        nbr0 = subm_neighbor_table_batched(x.coords, x.valid, idx0, g0)
-        x = SubMStage((16,), axis_name=self.axis_name, name="conv_input")(x, nbr0, train)
-        x = SparseBasicBlock(16, axis_name=self.axis_name, name="conv1_0")(x, nbr0, train)
-        x_conv1 = SparseBasicBlock(16, axis_name=self.axis_name, name="conv1_1")(x, nbr0, train)
+        stages = [
+            # (name, channels, down stride, down padding, down ksize)
+            ("conv2", 32, (2, 2, 2), (1, 1, 1), (3, 3, 3)),
+            ("conv3", 64, (2, 2, 2), (1, 1, 1), (3, 3, 3)),
+            ("conv4", 128, (2, 2, 2), (0, 1, 1), (3, 3, 3)),
+        ]
 
-        x, g1 = SparseDownsample(
-            32, g0, (2, 2, 2), (1, 1, 1), out_budget=budgets[0],
-            axis_name=self.axis_name, name="conv2_down",
-        )(x_conv1, idx0, train)
-        idx1 = build_index_grid_batched(x.coords, x.valid, g1)
-        nbr1 = subm_neighbor_table_batched(x.coords, x.valid, idx1, g1)
-        x = SparseBasicBlock(32, axis_name=self.axis_name, name="conv2_0")(x, nbr1, train)
-        x_conv2 = SparseBasicBlock(32, axis_name=self.axis_name, name="conv2_1")(x, nbr1, train)
+        multi_scale = {}
+        grid = self.sparse_shape
+        dense_x = dense_mask = None
 
-        x, g2 = SparseDownsample(
-            64, g1, (2, 2, 2), (1, 1, 1), out_budget=budgets[1],
-            axis_name=self.axis_name, name="conv3_down",
-        )(x_conv2, idx1, train)
-        idx2 = build_index_grid_batched(x.coords, x.valid, g2)
-        nbr2 = subm_neighbor_table_batched(x.coords, x.valid, idx2, g2)
-        x = SparseBasicBlock(64, axis_name=self.axis_name, name="conv3_0")(x, nbr2, train)
-        x_conv3 = SparseBasicBlock(64, axis_name=self.axis_name, name="conv3_1")(x, nbr2, train)
+        if dfs <= 0:
+            dense_x, dense_mask = densify(x, grid)
+            dense_x = DenseSubMStage((16,), axis_name=an, name="conv_input")(
+                dense_x, dense_mask, train)
+            dense_x = DenseBasicBlock(16, axis_name=an, name="conv1_0")(
+                dense_x, dense_mask, train)
+            dense_x = DenseBasicBlock(16, axis_name=an, name="conv1_1")(
+                dense_x, dense_mask, train)
+            multi_scale["conv1"] = (dense_x, grid)
+        else:
+            idx = build_index_grid_batched(x.coords, x.valid, grid)
+            nbr = subm_neighbor_table_batched(x.coords, x.valid, idx, grid)
+            x = SubMStage((16,), axis_name=an, name="conv_input")(x, nbr, train)
+            x = SparseBasicBlock(16, axis_name=an, name="conv1_0")(x, nbr, train)
+            x = SparseBasicBlock(16, axis_name=an, name="conv1_1")(x, nbr, train)
+            multi_scale["conv1"] = (x, grid)
 
-        x, g3 = SparseDownsample(
-            128, g2, (2, 2, 2), (0, 1, 1), out_budget=budgets[2],
-            axis_name=self.axis_name, name="conv4_down",
-        )(x_conv3, idx2, train)
-        idx3 = build_index_grid_batched(x.coords, x.valid, g3)
-        nbr3 = subm_neighbor_table_batched(x.coords, x.valid, idx3, g3)
-        x = SparseBasicBlock(128, axis_name=self.axis_name, name="conv4_0")(x, nbr3, train)
-        x_conv4 = SparseBasicBlock(128, axis_name=self.axis_name, name="conv4_1")(x, nbr3, train)
+        for k, (name, ch, stride, pad, ksz) in enumerate(stages, start=1):
+            if k <= dfs and dense_x is None:  # sparse downsample (cheap gathers)
+                x, grid = SparseDownsample(
+                    ch, grid, stride, pad, ksize=ksz, out_budget=budgets[k - 1],
+                    axis_name=an, name=f"{name}_down",
+                )(x, build_index_grid_batched(x.coords, x.valid, grid), train)
+                if k == dfs:  # transition AFTER the downsample: densify the
+                    # coarser output grid, not the big input grid
+                    dense_x, dense_mask = densify(x, grid)
+            else:
+                dense_x, dense_mask = DenseDownsample(
+                    ch, stride, pad, ksize=ksz, axis_name=an, name=f"{name}_down",
+                )(dense_x, dense_mask, train)
+                grid = conv_out_grid(grid, stride, pad, ksz)
+            if dense_x is None:
+                idx = build_index_grid_batched(x.coords, x.valid, grid)
+                nbr = subm_neighbor_table_batched(x.coords, x.valid, idx, grid)
+                x = SparseBasicBlock(ch, axis_name=an, name=f"{name}_0")(x, nbr, train)
+                x = SparseBasicBlock(ch, axis_name=an, name=f"{name}_1")(x, nbr, train)
+                multi_scale[name] = (x, grid)
+            else:
+                dense_x = DenseBasicBlock(ch, axis_name=an, name=f"{name}_0")(
+                    dense_x, dense_mask, train)
+                dense_x = DenseBasicBlock(ch, axis_name=an, name=f"{name}_1")(
+                    dense_x, dense_mask, train)
+                multi_scale[name] = (dense_x, grid)
 
-        x, g4 = SparseDownsample(
-            128, g3, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1), out_budget=budgets[3],
-            axis_name=self.axis_name, name="extra_conv",
-        )(x_conv4, idx3, train)
-
-        bev = sparse_to_bev(x, g4)
-        multi_scale = {
-            "conv1": (x_conv1, g0),
-            "conv2": (x_conv2, g1),
-            "conv3": (x_conv3, g2),
-            "conv4": (x_conv4, g3),
-        }
+        # extra_conv: z-only stride-2
+        if 4 < dfs:
+            x, g4 = SparseDownsample(
+                128, grid, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1),
+                out_budget=budgets[3], axis_name=an, name="extra_conv",
+            )(x, build_index_grid_batched(x.coords, x.valid, grid), train)
+            bev = sparse_to_bev(x, g4)
+        else:
+            if dense_x is None:
+                dense_x, dense_mask = densify(x, grid)
+            dense_x, dense_mask = DenseDownsample(
+                128, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1), axis_name=an,
+                name="extra_conv",
+            )(dense_x, dense_mask, train)
+            bev = dense_to_bev(dense_x)
         return bev, multi_scale
 
 
@@ -238,50 +409,67 @@ class SpMiddleFHD(nn.Module):
     num_input_features: int = 128
     sparse_shape: Tuple[int, int, int] = (41, 1504, 1504)
     stage_budgets: Optional[Tuple[int, int, int, int]] = None
+    dense_from_stage: int = 2
     norm_cfg: Optional[dict] = None
     name_tag: str = "SpMiddleFHD"
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, voxel_features, coords, train: bool = False):
+        an = self.axis_name
         valid = jnp.all(coords >= 0, axis=-1)
         x = SparseTensor(voxel_features, coords.astype(jnp.int32), valid).masked()
         v = voxel_features.shape[1]
         budgets = self.stage_budgets or (v, v, v, v)
+        dfs = self.dense_from_stage if self.dense_from_stage is not None else 99
 
-        g0 = self.sparse_shape
-        idx0 = build_index_grid_batched(x.coords, x.valid, g0)
-        nbr0 = subm_neighbor_table_batched(x.coords, x.valid, idx0, g0)
-        x = SubMStage((16, 16), axis_name=self.axis_name, name="subm0")(x, nbr0, train)
+        stages = [
+            ("subm0", None, (16, 16), None, None, None),
+            ("subm1", "down1", (32, 32), (2, 2, 2), (1, 1, 1), (3, 3, 3)),
+            ("subm2", "down2", (64, 64, 64), (2, 2, 2), (1, 1, 1), (3, 3, 3)),
+            ("subm3", "down3", (64, 64, 64), (2, 2, 2), (0, 1, 1), (3, 3, 3)),
+        ]
+        grid = self.sparse_shape
+        dense_x = dense_mask = None
+        conv4 = None
+        for k, (name, down, chans, stride, pad, ksz) in enumerate(stages):
+            if k >= dfs and dense_x is None and down is None:
+                dense_x, dense_mask = densify(x, grid)  # dense from stage 0
+            if down is not None:
+                if dense_x is None:
+                    x, grid = SparseDownsample(
+                        chans[0], grid, stride, pad, ksize=ksz,
+                        out_budget=budgets[k - 1], axis_name=an, name=down,
+                    )(x, build_index_grid_batched(x.coords, x.valid, grid), train)
+                    if k == dfs:  # transition after the (cheaper) sparse down
+                        dense_x, dense_mask = densify(x, grid)
+                else:
+                    dense_x, dense_mask = DenseDownsample(
+                        chans[0], stride, pad, ksize=ksz, axis_name=an, name=down,
+                    )(dense_x, dense_mask, train)
+                    grid = conv_out_grid(grid, stride, pad, ksz)
+            if dense_x is None:
+                idx = build_index_grid_batched(x.coords, x.valid, grid)
+                nbr = subm_neighbor_table_batched(x.coords, x.valid, idx, grid)
+                x = SubMStage(chans, axis_name=an, name=name)(x, nbr, train)
+                conv4 = (x, grid)
+            else:
+                dense_x = DenseSubMStage(chans, axis_name=an, name=name)(
+                    dense_x, dense_mask, train)
+                conv4 = (dense_x, grid)
 
-        x, g1 = SparseDownsample(
-            32, g0, (2, 2, 2), (1, 1, 1), out_budget=budgets[0],
-            axis_name=self.axis_name, name="down1",
-        )(x, idx0, train)
-        idx1 = build_index_grid_batched(x.coords, x.valid, g1)
-        nbr1 = subm_neighbor_table_batched(x.coords, x.valid, idx1, g1)
-        x = SubMStage((32, 32), axis_name=self.axis_name, name="subm1")(x, nbr1, train)
-
-        x, g2 = SparseDownsample(
-            64, g1, (2, 2, 2), (1, 1, 1), out_budget=budgets[1],
-            axis_name=self.axis_name, name="down2",
-        )(x, idx1, train)
-        idx2 = build_index_grid_batched(x.coords, x.valid, g2)
-        nbr2 = subm_neighbor_table_batched(x.coords, x.valid, idx2, g2)
-        x = SubMStage((64, 64, 64), axis_name=self.axis_name, name="subm2")(x, nbr2, train)
-
-        x, g3 = SparseDownsample(
-            64, g2, (2, 2, 2), (0, 1, 1), out_budget=budgets[2],
-            axis_name=self.axis_name, name="down3",
-        )(x, idx2, train)
-        idx3 = build_index_grid_batched(x.coords, x.valid, g3)
-        nbr3 = subm_neighbor_table_batched(x.coords, x.valid, idx3, g3)
-        conv4 = SubMStage((64, 64, 64), axis_name=self.axis_name, name="subm3")(x, nbr3, train)
-
-        x, g4 = SparseDownsample(
-            64, g3, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1), out_budget=budgets[3],
-            axis_name=self.axis_name, name="extra_conv",
-        )(conv4, idx3, train)
-
-        bev = sparse_to_bev(x, g4)
-        return bev, (conv4, g3)
+        if 4 < dfs:
+            x, g4 = SparseDownsample(
+                64, grid, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1),
+                out_budget=budgets[3], axis_name=an, name="extra_conv",
+            )(x, build_index_grid_batched(x.coords, x.valid, grid), train)
+            bev = sparse_to_bev(x, g4)
+        else:
+            if dense_x is None:
+                dense_x, dense_mask = densify(x, grid)
+            dense_x, dense_mask = DenseDownsample(
+                64, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1), axis_name=an,
+                name="extra_conv",
+            )(dense_x, dense_mask, train)
+            bev = dense_to_bev(dense_x)
+        return bev, conv4

@@ -115,3 +115,35 @@ def test_dense_voxels_substitution(setup):
     p_dense = model.apply(variables, dense, train=False)
     # different inputs -> different heatmaps
     assert not np.allclose(np.asarray(p_base[0]["hm"]), np.asarray(p_dense[0]["hm"]))
+
+
+@pytest.mark.parametrize("dfs", [0, 1, 2, 3])
+def test_dense_mode_matches_sparse(setup, dfs):
+    """The hybrid dense stages are the same operator as gather-GEMM: with
+    shared params, any dense_from_stage must reproduce the fully-sparse BEV."""
+    import copy
+    cfg, _, batch, _ = setup
+
+    def build(dense_from_stage):
+        mcfg = copy.deepcopy(dict(cfg.S_model))
+        mcfg["backbone"]["dense_from_stage"] = dense_from_stage
+        # large enough that the sparse path never truncates (the dense path
+        # has no budget; truncation is the one intended divergence)
+        mcfg["backbone"]["stage_budgets"] = (4096, 4096, 4096, 4096)
+        return build_detector(mcfg, train_cfg=cfg.train_cfg,
+                              test_cfg=cfg.test_cfg,
+                              voxel_generator=cfg.voxel_generator)
+
+    sparse_model = build(99)
+    dense_model = build(dfs)
+    variables = sparse_model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    def bev_of(model):
+        return np.asarray(model.apply(
+            variables, batch["voxels"], batch["num_points"],
+            batch["coordinates"], False,
+            method=lambda m, v, n, c, t: m.extract_feat(v, n, c, t)[2],
+        ))
+
+    np.testing.assert_allclose(bev_of(dense_model), bev_of(sparse_model),
+                               rtol=1e-3, atol=1e-4)
