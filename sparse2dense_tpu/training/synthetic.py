@@ -44,16 +44,17 @@ def make_points(rng: np.random.RandomState, n_points: int, pc_range,
     return pts
 
 
-def make_gt(rng: np.random.RandomState, n_obj: int, pc_range):
+def make_gt(rng: np.random.RandomState, n_obj: int, pc_range,
+            class_names=("VEHICLE", "PEDESTRIAN", "CYCLIST")):
     lo = np.asarray(pc_range[:3]) * 0.6
     hi = np.asarray(pc_range[3:]) * 0.6
     centers = rng.uniform(lo, hi, size=(n_obj, 3)).astype(np.float32)
     dims = rng.uniform(1.2, 4.5, size=(n_obj, 3)).astype(np.float32)
     vel = np.zeros((n_obj, 2), np.float32)
     rot = rng.uniform(-np.pi, np.pi, size=(n_obj, 1)).astype(np.float32)
-    boxes = np.concatenate([centers, dims, vel, rot], axis=1)  # 9-dof waymo layout
-    classes = rng.randint(1, 4, size=n_obj)
-    names = np.array(["VEHICLE", "PEDESTRIAN", "CYCLIST"])[classes - 1]
+    boxes = np.concatenate([centers, dims, vel, rot], axis=1)  # 9-dof layout
+    classes = rng.randint(1, len(class_names) + 1, size=n_obj)
+    names = np.asarray(list(class_names))[classes - 1]
     return boxes, classes, names
 
 
@@ -97,7 +98,9 @@ def make_batch(cfg, batch_size: int, max_voxels: int, seed: int = 0,
     targets = []
     for i in range(batch_size):
         rng = np.random.RandomState(seed + i)
-        gt_boxes, gt_classes, gt_names = make_gt(rng, n_obj, pc_range)
+        names = tuple(cfg.get("class_names")) if cfg.get("class_names") else \
+            ("VEHICLE", "PEDESTRIAN", "CYCLIST")
+        gt_boxes, gt_classes, gt_names = make_gt(rng, n_obj, pc_range, names)
         pts = make_points(rng, n_points, pc_range, gt_boxes, n_feats)
         v, c, npts = gen.generate(pts)
         all_vox.append(pad_to(v, max_voxels))

@@ -147,3 +147,23 @@ def test_dense_mode_matches_sparse(setup, dfs):
 
     np.testing.assert_allclose(bev_of(dense_model), bev_of(sparse_model),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_nusc_multitask_pillar():
+    """nuScenes family: 6 tasks, velocity head, circular NMS."""
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                            "tests", "nusc_pp_tiny.py")
+    cfg = Config.fromfile(cfg_path)
+    model = build_detector(cfg.S_model, train_cfg=cfg.train_cfg,
+                           test_cfg=cfg.test_cfg)
+    batch = make_batch(cfg, batch_size=2, max_voxels=256, n_points=500, n_obj=6)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    preds = model.apply(variables, batch, train=False)
+    assert len(preds) == 6
+    assert preds[0]["vel"].shape == (2, 16, 16, 2)
+    total, logs = model.loss(preds, batch)
+    assert np.isfinite(float(total))
+    out = model.predict(preds, cfg.test_cfg)
+    # 6 tasks x post_max 16 candidates, labels offset per task
+    assert out["box3d_lidar"].shape == (2, 96, 9)
+    assert int(np.asarray(out["label_preds"]).max()) <= 9
