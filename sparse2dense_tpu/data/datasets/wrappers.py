@@ -1,0 +1,30 @@
+"""Dataset wrappers (reference det3d/datasets/dataset_wrappers.py:8,28)."""
+from __future__ import annotations
+
+import numpy as np
+
+
+class ConcatDataset:
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self._cum = np.cumsum([len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._cum[-1])
+
+    def __getitem__(self, idx):
+        d = int(np.searchsorted(self._cum, idx, side="right"))
+        prev = 0 if d == 0 else int(self._cum[d - 1])
+        return self.datasets[d][idx - prev]
+
+
+class RepeatDataset:
+    def __init__(self, dataset, times):
+        self.dataset = dataset
+        self.times = times
+
+    def __len__(self):
+        return len(self.dataset) * self.times
+
+    def __getitem__(self, idx):
+        return self.dataset[idx % len(self.dataset)]
