@@ -18,6 +18,8 @@ round trip is ~30 ms — larger than the model itself):
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import os as _os
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 import os
 import sys
 import time
@@ -30,6 +32,11 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    except Exception:
+        pass
 
     from sparse2dense_tpu.utils import Config
     from sparse2dense_tpu.models import build_detector
