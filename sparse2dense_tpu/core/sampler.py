@@ -28,6 +28,15 @@ def get_obj(path):
         return pickle.load(f)
 
 
+def pad_box_dims(boxes: np.ndarray, nd: int) -> np.ndarray:
+    """Align 7-dof db boxes with a 9-dof (velocity-carrying) scene layout by
+    inserting zero velocity before the rotation column."""
+    if boxes.shape[-1] >= nd:
+        return boxes
+    pad = np.zeros((len(boxes), nd - boxes.shape[-1]), boxes.dtype)
+    return np.concatenate([boxes[:, :-1], pad, boxes[:, -1:]], axis=-1)
+
+
 def mirror_vehicle_points(gt_point: np.ndarray) -> np.ndarray:
     """Left/right symmetrization of a vehicle's dense object points
     (reference datasets/pipelines/preprocess.py:90-103)."""
@@ -136,6 +145,9 @@ class DataBaseSamplerV2:
             return []
         num_gt = gt_boxes.shape[0]
         sp_boxes = np.stack([i["box3d_lidar"] for i in sampled], axis=0)
+        sp_boxes = pad_box_dims(sp_boxes, gt_boxes.shape[-1])
+        for info, b in zip(sampled, sp_boxes):
+            info["box3d_lidar"] = b
         boxes = np.concatenate([gt_boxes, sp_boxes], axis=0)
         bv = boxes[:, [0, 1, 3, 4, -1]]
         from .augment import box_collision_test
