@@ -117,3 +117,24 @@ def test_ts_second_branch():
     for k in ("loss", "sparse2dense_loss", "mask_loss", "reconstruction_loss"):
         assert np.isfinite(float(metrics[k])), (k, float(metrics[k]))
     assert "kd_hm_loss" not in metrics  # SECOND branch: feature MSE only
+
+
+def test_ts_training_converges(setup):
+    """A few TS steps must reduce the combined distillation objective —
+    validates gradient flow through the S2D/PCR student end to end.
+    (lr kept small: at the config's one-cycle lr_max the 8-step trajectory on
+    this tiny synthetic problem is still in the noisy warmup phase.)"""
+    cfg, teacher, student, batch, t_vars, s_vars = setup
+    lr_cfg = dict(cfg.lr_config)
+    lr_cfg["lr_max"] = 1e-4
+    tx = build_optimizer(cfg.optimizer, lr_cfg, total_steps=200,
+                         grad_clip=cfg.optimizer_config["grad_clip"])
+    state = TrainState.create(apply_fn=student.apply, params=s_vars["params"],
+                              batch_stats=s_vars["batch_stats"], tx=tx)
+    step = jax.jit(make_ts_train_step(teacher, student, branch_of(cfg.model)))
+    losses = []
+    for _ in range(6):
+        state, metrics = step(t_vars, state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert min(losses[-3:]) < losses[0], losses
