@@ -163,6 +163,8 @@ class KD_VoxelNet(nn.Module):
         )
 
     def predict(self, preds, test_cfg=None, example=None):
+        if isinstance(preds, dict) and "preds" in preds:
+            preds = preds["preds"]  # __call__ output dict -> head preds
         cfg = test_cfg if test_cfg is not None else self.test_cfg
         if isinstance(self.bbox_head, MultiGroupHead):
             return mg_head_predict(self.bbox_head, preds, example, cfg)
@@ -236,6 +238,8 @@ class KD_PointPillars(nn.Module):
         )
 
     def predict(self, preds, test_cfg=None, example=None):
+        if isinstance(preds, dict) and "preds" in preds:
+            preds = preds["preds"]  # __call__ output dict -> head preds
         cfg = test_cfg if test_cfg is not None else self.test_cfg
         if isinstance(self.bbox_head, MultiGroupHead):
             return mg_head_predict(self.bbox_head, preds, example, cfg)

@@ -138,3 +138,13 @@ def test_ts_training_converges(setup):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert min(losses[-3:]) < losses[0], losses
+
+
+def test_kd_student_eval_predict(setup):
+    """The deployed artifact is the KD student: its __call__ dict output must
+    decode through predict (the Trainer.val / tools.test path)."""
+    cfg, teacher, student, batch, t_vars, s_vars = setup
+    out = student.apply(s_vars, batch, train=False)
+    dets = student.predict(out, cfg.test_cfg)
+    assert dets["box3d_lidar"].shape == (2, 8, 7)
+    assert dets["valid"].dtype == bool
