@@ -178,6 +178,98 @@ class DenseDownsample(nn.Module):
         return nn.relu(y) * new_mask, new_mask
 
 
+class ColSubMStage(nn.Module):
+    """n x [column submanifold conv + BN + ReLU] (column engine)."""
+
+    channels: Sequence[int]
+    use_bias: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, cf, zmask, nbr, train: bool):
+        from ...ops.column_conv import col_subm_conv
+
+        for i, ch in enumerate(self.channels):
+            w = self.param(
+                f"conv_{i}_kernel",
+                nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+                (27, cf.shape[-1], ch),
+            )
+            b = (self.param(f"conv_{i}_bias", nn.initializers.zeros, (ch,))
+                 if self.use_bias else None)
+            cf = col_subm_conv(cf, zmask, nbr, w, b)
+            cf = BatchNorm(axis_name=self.axis_name, name=f"norm_{i}")(
+                cf, mask=zmask, use_running_average=not train
+            )
+            cf = nn.relu(cf) * zmask
+        return cf
+
+
+class ColBasicBlock(nn.Module):
+    """Residual block in column layout (parameter names match
+    SparseBasicBlock so checkpoints interchange across engines)."""
+
+    planes: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, cf, zmask, nbr, train: bool):
+        from ...ops.column_conv import col_subm_conv
+
+        init = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
+        w1 = self.param("conv1_kernel", init, (27, cf.shape[-1], self.planes))
+        b1 = self.param("conv1_bias", nn.initializers.zeros, (self.planes,))
+        w2 = self.param("conv2_kernel", init, (27, self.planes, self.planes))
+        b2 = self.param("conv2_bias", nn.initializers.zeros, (self.planes,))
+        out = col_subm_conv(cf, zmask, nbr, w1, b1)
+        out = BatchNorm(axis_name=self.axis_name, name="bn1")(
+            out, mask=zmask, use_running_average=not train)
+        out = nn.relu(out) * zmask
+        out = col_subm_conv(out, zmask, nbr, w2, b2)
+        out = BatchNorm(axis_name=self.axis_name, name="bn2")(
+            out, mask=zmask, use_running_average=not train)
+        return nn.relu(out + cf) * zmask
+
+
+class ColDownsample(nn.Module):
+    """Strided sparse conv in column layout: new column set (2D dilation),
+    z handled densely inside the slabs."""
+
+    out_channels: int
+    hw_in: Tuple[int, int]
+    z_pad: int
+    d_out: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, cf, zmask, cols, cvalid, col_budget, train: bool):
+        from ...ops.column_conv import (
+            build_col_table,
+            col_z_strided_conv,
+            downsample_columns,
+            strided_col_neighbor_table,
+            z_mask_downsample,
+        )
+
+        hw_out = tuple((g + 2 * 1 - 3) // 2 + 1 for g in self.hw_in)
+        ocols, ovalid = downsample_columns(cols, cvalid, self.hw_in, hw_out,
+                                           col_budget)
+        tbl = build_col_table(cols, cvalid, self.hw_in)
+        snbr = strided_col_neighbor_table(ocols, ovalid, tbl, self.hw_in)
+        w = self.param(
+            "conv_kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (27, cf.shape[-1], self.out_channels),
+        )
+        out = col_z_strided_conv(cf, zmask, snbr, w, self.z_pad, self.d_out)
+        new_zm = z_mask_downsample(zmask, snbr, self.z_pad, self.d_out)
+        out = out * new_zm
+        out = BatchNorm(axis_name=self.axis_name, name="norm")(
+            out, mask=new_zm, use_running_average=not train)
+        out = nn.relu(out) * new_zm
+        return out, new_zm, ocols, ovalid, hw_out
+
+
 class SubMStage(nn.Module):
     """n_convs x [SubMConv3d(3x3x3) BN ReLU] over one shared neighbor table."""
 
@@ -312,6 +404,7 @@ class SpMiddleResNetFHD(nn.Module):
     sparse_shape: Tuple[int, int, int] = (41, 1504, 1504)  # (D, H, W)
     stage_budgets: Optional[Tuple[int, int, int, int]] = None
     dense_from_stage: int = 2
+    engine: str = "gather"  # "gather" (row GEMM) or "column" (z-dense slabs)
     norm_cfg: Optional[dict] = None
     name_tag: str = "SpMiddleResNetFHD"
     is_student: bool = False
@@ -319,6 +412,8 @@ class SpMiddleResNetFHD(nn.Module):
 
     @nn.compact
     def __call__(self, voxel_features, coords, train: bool = False):
+        if self.engine == "column":
+            return self._column_forward(voxel_features, coords, train)
         an = self.axis_name
         valid = jnp.all(coords >= 0, axis=-1)
         x = SparseTensor(voxel_features, coords.astype(jnp.int32), valid).masked()
@@ -396,6 +491,81 @@ class SpMiddleResNetFHD(nn.Module):
                 name="extra_conv",
             )(dense_x, dense_mask, train)
             bev = dense_to_bev(dense_x)
+        return bev, multi_scale
+
+    def _column_forward(self, voxel_features, coords, train: bool):
+        """Column-engine forward: z-dense slabs per occupied BEV column for
+        the sparse stages, masked dense 3D convs from ``dense_from_stage``.
+        Same parameters and numerics as the gather engine (see
+        tests/test_column_conv.py)."""
+        from ...ops.column_conv import (
+            build_col_table,
+            col_neighbor_table,
+            columns_to_dense,
+            rows_to_columns,
+        )
+
+        an = self.axis_name
+        valid = jnp.all(coords >= 0, axis=-1)
+        v = voxel_features.shape[1]
+        dfs = self.dense_from_stage if self.dense_from_stage is not None else 99
+        # column path: sparse stages need >= 1 column stage and always
+        # densify by the extra conv at the latest
+        dfs = max(1, min(dfs, 4))
+
+        grid = self.sparse_shape
+        cf, cols, cvalid, zm = rows_to_columns(
+            voxel_features * valid[..., None].astype(voxel_features.dtype),
+            coords.astype(jnp.int32), valid, grid, v,
+        )
+        hw = (grid[1], grid[2])
+        tbl = build_col_table(cols, cvalid, hw)
+        nbr = col_neighbor_table(cols, cvalid, tbl, hw)
+        cf = ColSubMStage((16,), axis_name=an, name="conv_input")(cf, zm, nbr, train)
+        cf = ColBasicBlock(16, axis_name=an, name="conv1_0")(cf, zm, nbr, train)
+        cf = ColBasicBlock(16, axis_name=an, name="conv1_1")(cf, zm, nbr, train)
+        multi_scale = {"conv1": (cf, grid)}
+
+        stages = [
+            ("conv2", 32, 1), ("conv3", 64, 1), ("conv4", 128, 0),
+        ]
+        dense_x = dense_mask = None
+        for k, (name, ch, z_pad) in enumerate(stages, start=1):
+            d_out = (grid[0] + 2 * z_pad - 3) // 2 + 1
+            if dense_x is None:
+                cf, zm, cols, cvalid, hw = ColDownsample(
+                    ch, hw, z_pad, d_out, axis_name=an, name=f"{name}_down",
+                )(cf, zm, cols, cvalid, v, train)
+                grid = (d_out, hw[0], hw[1])
+                if k == dfs:
+                    dense_x, dense_mask = columns_to_dense(cf, cols, cvalid, zm, grid)
+                else:
+                    tbl = build_col_table(cols, cvalid, hw)
+                    nbr = col_neighbor_table(cols, cvalid, tbl, hw)
+            else:
+                dense_x, dense_mask = DenseDownsample(
+                    ch, (2, 2, 2), (z_pad, 1, 1), ksize=(3, 3, 3), axis_name=an,
+                    name=f"{name}_down",
+                )(dense_x, dense_mask, train)
+                grid = conv_out_grid(grid, (2, 2, 2), (z_pad, 1, 1), (3, 3, 3))
+            if dense_x is None:
+                cf = ColBasicBlock(ch, axis_name=an, name=f"{name}_0")(cf, zm, nbr, train)
+                cf = ColBasicBlock(ch, axis_name=an, name=f"{name}_1")(cf, zm, nbr, train)
+                multi_scale[name] = (cf, grid)
+            else:
+                dense_x = DenseBasicBlock(ch, axis_name=an, name=f"{name}_0")(
+                    dense_x, dense_mask, train)
+                dense_x = DenseBasicBlock(ch, axis_name=an, name=f"{name}_1")(
+                    dense_x, dense_mask, train)
+                multi_scale[name] = (dense_x, grid)
+
+        if dense_x is None:  # dfs == 4: densify right before the extra conv
+            dense_x, dense_mask = columns_to_dense(cf, cols, cvalid, zm, grid)
+        dense_x, dense_mask = DenseDownsample(
+            128, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1), axis_name=an,
+            name="extra_conv",
+        )(dense_x, dense_mask, train)
+        bev = dense_to_bev(dense_x)
         return bev, multi_scale
 
 

@@ -117,15 +117,19 @@ def test_dense_voxels_substitution(setup):
     assert not np.allclose(np.asarray(p_base[0]["hm"]), np.asarray(p_dense[0]["hm"]))
 
 
-@pytest.mark.parametrize("dfs", [0, 1, 2, 3])
-def test_dense_mode_matches_sparse(setup, dfs):
-    """The hybrid dense stages are the same operator as gather-GEMM: with
-    shared params, any dense_from_stage must reproduce the fully-sparse BEV."""
+@pytest.mark.parametrize("engine,dfs", [
+    ("gather", 0), ("gather", 1), ("gather", 2), ("gather", 3),
+    ("column", 1), ("column", 2), ("column", 4),
+])
+def test_dense_mode_matches_sparse(setup, engine, dfs):
+    """All engine/split-point combinations are the same operator: with shared
+    params every variant must reproduce the fully-sparse gather BEV."""
     import copy
     cfg, _, batch, _ = setup
 
-    def build(dense_from_stage):
+    def build(engine, dense_from_stage):
         mcfg = copy.deepcopy(dict(cfg.S_model))
+        mcfg["backbone"]["engine"] = engine
         mcfg["backbone"]["dense_from_stage"] = dense_from_stage
         # large enough that the sparse path never truncates (the dense path
         # has no budget; truncation is the one intended divergence)
@@ -134,9 +138,9 @@ def test_dense_mode_matches_sparse(setup, dfs):
                               test_cfg=cfg.test_cfg,
                               voxel_generator=cfg.voxel_generator)
 
-    sparse_model = build(99)
-    dense_model = build(dfs)
-    variables = sparse_model.init(jax.random.PRNGKey(0), batch, train=False)
+    ref_model = build("gather", 99)
+    variant = build(engine, dfs)
+    variables = ref_model.init(jax.random.PRNGKey(0), batch, train=False)
 
     def bev_of(model):
         return np.asarray(model.apply(
@@ -145,7 +149,7 @@ def test_dense_mode_matches_sparse(setup, dfs):
             method=lambda m, v, n, c, t: m.extract_feat(v, n, c, t)[2],
         ))
 
-    np.testing.assert_allclose(bev_of(dense_model), bev_of(sparse_model),
+    np.testing.assert_allclose(bev_of(variant), bev_of(ref_model),
                                rtol=1e-3, atol=1e-4)
 
 
