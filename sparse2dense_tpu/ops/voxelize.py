@@ -10,7 +10,7 @@ Reproduces the reference's numba first-come-first-serve semantics
 - with ``reverse_index`` (the det3d default) coordinates are returned zyx.
 
 This runs in the input pipeline. The on-device fast path for inference is
-``sparse2dense_tpu.ops.dynamic_pillar`` which needs no ragged shapes at all.
+``sparse2dense_tpu.ops.dynamic_voxelize`` which needs no ragged shapes at all.
 """
 from __future__ import annotations
 
