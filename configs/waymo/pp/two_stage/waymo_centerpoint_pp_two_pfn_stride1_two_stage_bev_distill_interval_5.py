@@ -1,0 +1,9 @@
+"""Two-stage refinement on the frozen Pillar S2D/PCR student.
+
+Field-level parity with the reference file configs/waymo/pp/two_stage/waymo_centerpoint_pp_two_pfn_stride1_two_stage_bev_distill_interval_5.py is
+asserted by tests/test_config_zoo.py; the shared builders live in
+sparse2dense_tpu/zoo.py.
+"""
+from sparse2dense_tpu.zoo import build
+
+globals().update(build("waymo/pp/two_stage/waymo_centerpoint_pp_two_pfn_stride1_two_stage_bev_distill_interval_5"))

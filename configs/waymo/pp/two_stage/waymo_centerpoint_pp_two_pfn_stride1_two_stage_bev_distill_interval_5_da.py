@@ -1,0 +1,9 @@
+"""Two-stage Pillar S2D student refinement, domain-adaptation val split.
+
+Field-level parity with the reference file configs/waymo/pp/two_stage/waymo_centerpoint_pp_two_pfn_stride1_two_stage_bev_distill_interval_5_da.py is
+asserted by tests/test_config_zoo.py; the shared builders live in
+sparse2dense_tpu/zoo.py.
+"""
+from sparse2dense_tpu.zoo import build
+
+globals().update(build("waymo/pp/two_stage/waymo_centerpoint_pp_two_pfn_stride1_two_stage_bev_distill_interval_5_da"))

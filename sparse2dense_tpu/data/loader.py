@@ -12,11 +12,16 @@ and the missing build_loader.py — see SURVEY.md header note):
 - ``ShardedSampler``: epoch-seeded shuffle + per-host sharding (the
   DistributedSampler semantics: shard k of n sees indices k::n of the
   epoch permutation, padded to equal length).
-- ``InputPipeline``: iterable over jnp batches with optional thread
-  prefetching.
+- ``InputPipeline``: iterable over jnp batches. ``num_workers=0`` produces on
+  a single prefetch thread; ``num_workers>0`` runs the per-frame pipeline in
+  that many spawn-safe worker PROCESSES (the reference's workers_per_gpu
+  DataLoader subprocesses) with in-order batch pickup. Device placement
+  always happens in the main process (workers stay jax-free).
 """
 from __future__ import annotations
 
+import multiprocessing as _mp
+import pickle
 import threading
 import queue as _queue
 from typing import Iterator, Optional
@@ -110,12 +115,35 @@ class ShardedSampler:
         return idx[self.shard_id::self.num_shards][:per_shard]
 
 
+def _worker_main(dataset_pkl: bytes, max_voxels: int, in_q, out_q):
+    """Worker-process loop: indices chunk -> collated NumPy batch.
+
+    The dataset arrives as explicit pickle bytes so this function body (not
+    argument deserialization) controls import order; the data layer has no
+    module-level jax imports, so workers never touch a device backend.
+    """
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")  # belt & braces
+    dataset = pickle.loads(dataset_pkl)
+    while True:
+        item = in_q.get()
+        if item is None:
+            break
+        batch_id, indices = item
+        try:
+            examples = [dataset[int(i)] for i in indices]
+            out_q.put((batch_id, collate(examples, max_voxels), None))
+        except Exception as e:  # surface worker crashes to the main process
+            out_q.put((batch_id, None, repr(e)))
+
+
 class InputPipeline:
     """Iterable over device-ready batches."""
 
     def __init__(self, dataset, batch_size: int, max_voxels: int,
                  shuffle=True, seed=0, num_shards=1, shard_id=0,
-                 prefetch: int = 2, to_device=True):
+                 prefetch: int = 2, to_device=True, num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_voxels = max_voxels
@@ -125,6 +153,7 @@ class InputPipeline:
         )
         self.prefetch = prefetch
         self.to_device = to_device
+        self.num_workers = num_workers
         self.epoch = 0
 
     def __len__(self):
@@ -141,7 +170,52 @@ class InputPipeline:
             examples = [self.dataset[int(i)] for i in chunk]
             yield collate(examples, self.max_voxels)
 
+    def _produce_mp(self) -> Iterator[dict]:
+        """Multi-process production with in-order pickup (the reference's
+        workers_per_gpu DataLoader; SURVEY.md §3.1 dataloader-worker boundary)."""
+        idx = self.sampler.epoch_indices(self.epoch)
+        nb = len(idx) // self.batch_size
+        ctx = _mp.get_context("spawn")
+        in_q = ctx.Queue(maxsize=2 * self.num_workers)
+        out_q = ctx.Queue(maxsize=max(2, self.prefetch) * self.num_workers)
+        dataset_pkl = pickle.dumps(self.dataset)
+        procs = [
+            ctx.Process(target=_worker_main,
+                        args=(dataset_pkl, self.max_voxels, in_q, out_q),
+                        daemon=True)
+            for _ in range(self.num_workers)
+        ]
+        for p in procs:
+            p.start()
+
+        def feeder():
+            for b in range(nb):
+                in_q.put((b, idx[b * self.batch_size:(b + 1) * self.batch_size]))
+            for _ in procs:
+                in_q.put(None)
+
+        threading.Thread(target=feeder, daemon=True).start()
+        try:
+            buffered, expect = {}, 0
+            for _ in range(nb):
+                while expect not in buffered:
+                    batch_id, batch, err = out_q.get()
+                    if err is not None:
+                        raise RuntimeError(f"input worker failed on batch "
+                                           f"{batch_id}: {err}")
+                    buffered[batch_id] = batch
+                yield buffered.pop(expect)
+                expect += 1
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join(timeout=5)
+
     def __iter__(self) -> Iterator[dict]:
+        if self.num_workers > 0:
+            yield from map(self._finalize, self._produce_mp())
+            return
         if self.prefetch <= 0:
             yield from map(self._finalize, self._produce())
             return

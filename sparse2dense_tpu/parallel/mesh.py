@@ -35,11 +35,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host pytree on the mesh, batch-sharded along axis 0."""
+    """Place a host pytree on the mesh, batch-sharded along axis 0.
+
+    Single-process: a plain device_put with the batch sharding. Multi-process
+    (jax.distributed): each process holds its LOCAL slice of the global batch
+    (the input pipeline shards the dataset per process, reference
+    DistributedSampler semantics) and the global array is assembled from the
+    per-process shards.
+    """
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)
 
 
 def replicate(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def init_distributed(launcher: str = "none") -> tuple:
+    """Multi-process bootstrap (reference init_dist, torchie/apis/env.py:13-48).
+
+    launcher="jax": call jax.distributed.initialize() — on TPU pods the
+    coordinator/process env comes from the TPU runtime; elsewhere it reads
+    the standard JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    variables (the NCCL env:// analogue). launcher="none": single process.
+
+    Returns (process_index, process_count).
+    """
+    if launcher and launcher != "none":
+        jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()

@@ -1,0 +1,333 @@
+"""Primitive microbenchmarks for the sparse-conv engine design (v5e).
+
+Answers, on real hardware, the questions that pick the round-2 engine
+(PERF.md "Next-round perf plan"): how fast are XLA gathers at each row
+granularity, scatter-adds, MXU matmuls at small N, dense 3D convs at the
+stage geometries, and what a Pallas kernel can do (VMEM-resident dynamic
+gather; raw per-row DMA gather from HBM).
+
+Timing uses the same K-step lax.scan differencing as bench.py (the axon
+tunnel adds ~30 ms per dispatch; differencing cancels it).
+
+Usage: python -m sparse2dense_tpu.tools.microbench [suite ...]
+Suites: gather scatter matmul conv sort pallas_take pallas_dma pallas_run
+"""
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+import sys
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def timed_scan(step_fn, k1=4, k2=12, reps=3, verbose=False):
+    """step_fn(carry, i) -> (carry, out_scalar). Returns seconds/step."""
+
+    def make(k):
+        @jax.jit
+        def run(i0):
+            _, outs = jax.lax.scan(step_fn, jnp.float32(0.0),
+                                   i0 + jnp.arange(k, dtype=jnp.int32))
+            return jnp.sum(outs)
+        return run
+
+    def t(k):
+        run = make(k)
+        float(np.asarray(run(jnp.int32(0))))  # compile+warm
+        ts = []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            float(np.asarray(run(jnp.int32(r + 1))))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t1, t2 = t(k1), t(k2)
+    if verbose:
+        print(f"    raw: T({k1})={t1*1e3:.2f} ms, T({k2})={t2*1e3:.2f} ms",
+              flush=True)
+    return max((t2 - t1) / (k2 - k1), 1e-9)
+
+
+def report(name, secs, useful_bytes=None, flops=None, n=None):
+    msg = f"{name:44s} {secs*1e3:9.3f} ms"
+    if useful_bytes:
+        msg += f"  {useful_bytes/secs/1e9:8.1f} GB/s"
+    if flops:
+        msg += f"  {flops/secs/1e12:7.2f} TF/s"
+    if n:
+        msg += f"  {n/secs/1e6:8.1f} Mrows/s"
+    print(msg, flush=True)
+
+
+def bench_gather():
+    V = 1 << 17  # 131072 rows
+    rng = np.random.RandomState(0)
+    for C in (16, 64, 128):
+        feat = jnp.asarray(rng.randn(V, C).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, V, size=(V,)).astype(np.int32))
+
+        def step(carry, i, feat=feat, idx=idx):
+            ii = idx ^ (i & 1)  # cheap per-step variation, stays in [0, V)
+            out = feat[ii]
+            s = jnp.sum(out) * 1e-20
+            return carry + s, s
+
+        secs = timed_scan(step, verbose=True)
+        report(f"xla gather V={V} C={C} ({C*4}B rows)", secs,
+               useful_bytes=V * C * 4, n=V)
+
+    # the actual subm pattern: 27 gathers + matmul accumulate, C=16
+    C = 16
+    feat = jnp.asarray(rng.randn(V, C).astype(np.float32))
+    nbr = jnp.asarray(rng.randint(-1, V, size=(V, 27)).astype(np.int32))
+    w = jnp.asarray(rng.randn(27, C, C).astype(np.float32) * 0.1)
+
+    def step27(carry, i):
+        out = jnp.zeros((V, C), jnp.float32)
+        for tap in range(27):
+            ii = nbr[:, tap] ^ (i & 1)
+            m = (ii >= 0)[:, None].astype(jnp.float32)
+            out = out + jnp.dot(feat[jnp.maximum(ii, 0)] * m, w[tap],
+                                preferred_element_type=jnp.float32)
+        s = jnp.sum(out) * 1e-20
+        return carry + s, s
+
+    secs = timed_scan(step27, k1=2, k2=6, verbose=True)
+    report("gather_conv 27tap C=16 (current engine)", secs,
+           useful_bytes=27 * V * C * 4, n=27 * V)
+
+
+def bench_scatter():
+    V = 1 << 17
+    rng = np.random.RandomState(0)
+    for C in (16, 32):
+        rows = jnp.asarray(rng.randn(V, C).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, V, size=(V,)).astype(np.int32))
+        canvas0 = jnp.zeros((V, C), jnp.float32)
+
+        def step(carry, i, rows=rows, idx=idx, canvas0=canvas0):
+            ii = (idx + i) % V
+            c = canvas0.at[ii].add(rows)
+            s = jnp.sum(c) * 1e-20
+            return carry + s, s
+
+        secs = timed_scan(step)
+        report(f"xla scatter-add V={V} C={C}", secs, useful_bytes=V * C * 4, n=V)
+
+
+def bench_matmul():
+    rng = np.random.RandomState(0)
+    for (m, k, n, dt) in [
+        (131072, 432, 16, jnp.float32),
+        (131072, 432, 16, jnp.bfloat16),
+        (131072, 432, 128, jnp.float32),
+        (131072, 432, 128, jnp.bfloat16),
+        (131072, 144, 32, jnp.float32),
+        (8192, 4096, 4096, jnp.bfloat16),
+        (8192, 4096, 4096, jnp.float32),
+    ]:
+        a = jnp.asarray(rng.randn(m, k).astype(np.float32)).astype(dt)
+        b = jnp.asarray(rng.randn(k, n).astype(np.float32)).astype(dt)
+
+        def step(carry, i, a=a, b=b):
+            aa = a + carry.astype(a.dtype)
+            out = jnp.dot(aa, b, preferred_element_type=jnp.float32)
+            s = jnp.sum(out) * 1e-20
+            return carry + s * 0, s
+
+        secs = timed_scan(step)
+        report(f"matmul ({m}x{k})@({k}x{n}) {dt.__name__}", secs,
+               flops=2 * m * k * n)
+
+
+def bench_conv():
+    rng = np.random.RandomState(0)
+    shapes = [
+        # (D, H, W, Cin, Cout, name)  stage geometries after each downsample
+        (21, 752, 752, 32, 32, "conv2-stage"),
+        (11, 376, 376, 64, 64, "conv3-stage"),
+        (5, 188, 188, 128, 128, "conv4-stage"),
+    ]
+    for (d, h, w, ci, co, name) in shapes:
+        for dt in (jnp.float32, jnp.bfloat16):
+            x = jnp.asarray(rng.randn(1, d, h, w, ci).astype(np.float32)).astype(dt)
+            wk = jnp.asarray(
+                rng.randn(3, 3, 3, ci, co).astype(np.float32) * 0.05).astype(dt)
+
+            def step(carry, i, x=x, wk=wk):
+                xx = x + carry.astype(x.dtype)
+                y = jax.lax.conv_general_dilated(
+                    xx, wk, (1, 1, 1), [(1, 1)] * 3,
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                    preferred_element_type=jnp.float32)
+                s = jnp.sum(y) * 1e-20
+                return carry + s * 0, s
+
+            secs = timed_scan(step, k1=2, k2=6)
+            fl = 2 * d * h * w * 27 * ci * co
+            report(f"dense conv3d {name} {dt.__name__}", secs, flops=fl)
+
+
+def bench_sort():
+    rng = np.random.RandomState(0)
+    for n in (1 << 20, 1 << 22):
+        keys = jnp.asarray(rng.randint(0, 1 << 30, size=(n,)).astype(np.int32))
+
+        def step(carry, i, keys=keys):
+            s = jnp.sort(keys + i)
+            out = jnp.sum(s[:8]) * 1e-20
+            return carry + out.astype(jnp.float32), out.astype(jnp.float32)
+
+        secs = timed_scan(step, k1=2, k2=6)
+        report(f"sort {n} int32 keys", secs, n=n)
+
+
+def bench_pallas_take():
+    """Dynamic gather from a VMEM-resident table inside a Pallas kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    V = 1 << 17
+    C = 16
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.randn(V, C).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, V, size=(V,)).astype(np.int32))
+
+    def kernel(idx_ref, feat_ref, out_ref):
+        out_ref[:] = jnp.take(feat_ref[:], idx_ref[:], axis=0)
+
+    @jax.jit
+    def take(feat, idx):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((V, C), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(idx, feat)
+
+    try:
+        out = np.asarray(take(feat, idx))
+        ref = np.asarray(feat)[np.asarray(idx)]
+        ok = np.allclose(out, ref)
+        print(f"pallas VMEM take compiles; correct={ok}", flush=True)
+    except Exception as e:
+        print(f"pallas VMEM take FAILED: {type(e).__name__}: {str(e)[:300]}",
+              flush=True)
+        return
+
+    def step(carry, i):
+        ii = (idx + i) % V
+        out = take(feat, ii)
+        s = jnp.sum(out) * 1e-20
+        return carry + s, s
+
+    secs = timed_scan(step)
+    report(f"pallas VMEM take V={V} C={C}", secs, useful_bytes=V * C * 4, n=V)
+
+
+def bench_pallas_dma(run_len=1):
+    """Per-row (or per-run) async DMA gather HBM->VMEM inside Pallas.
+
+    run_len rows per descriptor (contiguous), NSLOT outstanding DMAs.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    V = 1 << 17
+    C = 16
+    N = V // run_len  # descriptors
+    NSLOT = 16
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.randn(V, C).astype(np.float32))
+    idx = jnp.asarray(
+        (rng.randint(0, V // run_len, size=(N,)) * run_len).astype(np.int32))
+
+    def kernel(idx_ref, feat_hbm, out_ref, sems):
+        def get(i):
+            return pltpu.make_async_copy(
+                feat_hbm.at[pl.ds(idx_ref[i], run_len), :],
+                out_ref.at[pl.ds(i * run_len, run_len), :],
+                sems.at[i % NSLOT])
+
+        def body(i, _):
+            @pl.when(i >= NSLOT)
+            def _():
+                get(i - NSLOT).wait()
+            get(i).start()
+            return 0
+
+        jax.lax.fori_loop(0, N, body, 0, unroll=True)
+
+        def drain(i, _):
+            get(i).wait()
+            return 0
+        jax.lax.fori_loop(N - NSLOT, N, drain, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((NSLOT,))],
+    )
+
+    @jax.jit
+    def dma_gather(idx, feat):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((V, C), jnp.float32),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(idx, feat)
+
+    try:
+        out = np.asarray(dma_gather(idx, feat))
+        ref = np.concatenate(
+            [np.asarray(feat)[i:i + run_len] for i in np.asarray(idx)])
+        ok = np.allclose(out, ref)
+        print(f"pallas DMA gather run_len={run_len} compiles; correct={ok}",
+              flush=True)
+    except Exception as e:
+        print(f"pallas DMA gather run_len={run_len} FAILED: "
+              f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+        return
+
+    base = jnp.asarray(rng.randint(0, V // run_len, size=(N,)).astype(np.int32))
+
+    def step(carry, i):
+        ii = ((base + i) % (V // run_len)) * run_len
+        out = dma_gather(ii, feat)
+        s = jnp.sum(out) * 1e-20
+        return carry + s, s
+
+    secs = timed_scan(step)
+    report(f"pallas DMA gather run_len={run_len} ({run_len*C*4}B/desc)", secs,
+           useful_bytes=V * C * 4, n=N)
+
+
+SUITES = {
+    "gather": bench_gather,
+    "scatter": bench_scatter,
+    "matmul": bench_matmul,
+    "conv": bench_conv,
+    "sort": bench_sort,
+    "pallas_take": bench_pallas_take,
+    "pallas_dma": partial(bench_pallas_dma, 1),
+    "pallas_run": lambda: [bench_pallas_dma(r) for r in (8, 64)],
+}
+
+
+def main():
+    names = sys.argv[1:] or list(SUITES)
+    print(f"device: {jax.devices()[0].device_kind}", flush=True)
+    for n in names:
+        print(f"--- {n} ---", flush=True)
+        SUITES[n]()
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,10 @@ def main():
     logging.basicConfig(level=logging.INFO)
     logger = logging.getLogger("sparse2dense_tpu")
 
+    from ..utils.platform import enforce_platform_from_env
+
+    enforce_platform_from_env()
+
     import jax
 
     from .simple_inference import initialize_model, process_inputs

@@ -22,6 +22,10 @@ import numpy as np
 
 def initialize_model(cfg_path, checkpoint=None, logger=None):
     """(reference simple_inference_waymo.py:25-40)."""
+    from ..utils.platform import enforce_platform_from_env
+
+    enforce_platform_from_env()
+
     import jax
 
     from ..utils import Config

@@ -33,6 +33,10 @@ def main():
     logging.basicConfig(level=logging.INFO)
     logger = logging.getLogger("sparse2dense_tpu")
 
+    from ..utils.platform import enforce_platform_from_env
+
+    enforce_platform_from_env()
+
     import jax
     import numpy as np
 

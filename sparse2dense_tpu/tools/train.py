@@ -30,6 +30,11 @@ def parse_args():
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic frames instead of cfg.data")
+    p.add_argument("--launcher", default="none", choices=["none", "jax"],
+                   help="'jax' bootstraps multi-process training via "
+                        "jax.distributed.initialize() (reference init_dist)")
+    p.add_argument("--no_mesh", action="store_true",
+                   help="disable the device mesh (single-device step)")
     return p.parse_args()
 
 
@@ -39,22 +44,36 @@ def main():
                         format="%(asctime)s %(levelname)s %(message)s")
     logger = logging.getLogger("sparse2dense_tpu")
 
+    from ..utils.platform import enforce_platform_from_env
+
+    enforce_platform_from_env()
+
     import jax
 
     from ..utils import Config
     from ..models import build_detector
+    from ..parallel.mesh import init_distributed, make_mesh
     from ..solver.optim import build_optimizer
     from ..training.train_state import TrainState
     from ..training.trainer import Trainer, TS_Trainer
     from ..training.hooks import build_hooks
     from ..training.checkpoint import load_checkpoint, merge_params
 
+    proc_id, proc_count = init_distributed(args.launcher)
     cfg = Config.fromfile(args.config)
     work_dir = args.work_dir or cfg.get("work_dir", "./work_dir")
     os.makedirs(work_dir, exist_ok=True)
     distillation = bool(cfg.get("distillation", False))
     total_epochs = args.epochs or cfg.total_epochs
-    batch_size = args.batch_size or cfg.get("data", {}).get("samples_per_gpu", 4)
+    # reference semantics: samples_per_gpu is PER DEVICE; the jitted step sees
+    # the per-process batch (global when single-process), sharded on the mesh
+    mesh = None if args.no_mesh else make_mesh()
+    per_device = args.batch_size or cfg.get("data", {}).get("samples_per_gpu", 4)
+    batch_size = per_device * (jax.local_device_count() if mesh is not None else 1)
+    if mesh is not None:
+        logger.info(
+            f"mesh: {jax.device_count()} devices / {proc_count} processes, "
+            f"batch {per_device}/device -> {batch_size}/process")
     max_voxels = args.max_voxels or _default_max_voxels(cfg)
 
     # ---- data
@@ -84,7 +103,8 @@ def main():
         dataset = build_dataset(cfg.data["train"], distillation=distillation)
         train_loader = InputPipeline(
             dataset, batch_size=batch_size, max_voxels=max_voxels,
-            seed=args.seed,
+            seed=args.seed, num_shards=proc_count, shard_id=proc_id,
+            num_workers=int(cfg.data.get("workers_per_gpu", 4) or 0),
         )
         epoch_len = len(train_loader)
 
@@ -126,12 +146,16 @@ def main():
                     restored.get("batch_stats", {}), logger),
             }
             logger.info(f"loaded teacher checkpoint {load_from}")
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            t_vars = replicate(t_vars, mesh)
         trainer = TS_Trainer(teacher, t_vars, student, state, work_dir,
                              teacher_cfg=dict(cfg.model), hooks=hooks,
-                             logger=logger, meta=meta)
+                             logger=logger, meta=meta, mesh=mesh)
     else:
         trainer = Trainer(student, state, work_dir, hooks=hooks, logger=logger,
-                          meta=meta)
+                          meta=meta, mesh=mesh)
 
     if args.resume_from:
         trainer.resume(args.resume_from)

@@ -22,8 +22,10 @@ def _tree_to_numpy(tree):
 
 
 def save_checkpoint(out_dir: str, name: str, state_tree: Any,
-                    meta: Optional[dict] = None):
-    """Write ``<out_dir>/<name>`` (orbax dir) + meta.json + latest symlink."""
+                    meta: Optional[dict] = None, latest: bool = True):
+    """Write ``<out_dir>/<name>`` (orbax dir) + meta.json; with ``latest``,
+    also repoint the latest symlink (rolling intra-epoch 'preempt' saves keep
+    the symlink on the last completed epoch)."""
     import orbax.checkpoint as ocp
 
     os.makedirs(out_dir, exist_ok=True)
@@ -33,10 +35,11 @@ def save_checkpoint(out_dir: str, name: str, state_tree: Any,
     if meta:
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
-    link = os.path.join(out_dir, "latest")
-    if os.path.islink(link) or os.path.exists(link):
-        os.unlink(link)
-    os.symlink(name, link)
+    if latest:
+        link = os.path.join(out_dir, "latest")
+        if os.path.islink(link) or os.path.exists(link):
+            os.unlink(link)
+        os.symlink(name, link)
     return path
 
 

@@ -67,17 +67,12 @@ def make_ts_train_step(
         pcr_weight = 1.0 if branch == "centerpoint" else 0.5
 
     def ts_step(t_variables, state: TrainState, batch):
-        # teacher forward, frozen, eval-mode BN
-        if branch == "pp":
-            t_preds, f_d_a, f_d_b = teacher.apply(
-                t_variables, batch, train=False,
-                return_feature=True, return_recon_feature=True,
-            )
-        else:
-            t_preds, f_d_a, f_d_b = teacher.apply(
-                t_variables, batch, train=False,
-                return_feature=True, return_recon_feature=True,
-            )
+        # teacher forward, frozen, eval-mode BN (same call for all branches:
+        # the family differences live in the loss arms below)
+        t_preds, f_d_a, f_d_b = teacher.apply(
+            t_variables, batch, train=False,
+            return_feature=True, return_recon_feature=True,
+        )
         t_preds = jax.lax.stop_gradient(t_preds)
         f_d_a = jax.lax.stop_gradient(f_d_a)
         f_d_b = jax.lax.stop_gradient(f_d_b)

@@ -10,6 +10,7 @@ checkpointing (hooks/checkpoint.py:5), and iteration timing
 from __future__ import annotations
 
 import logging
+import os
 import time
 from collections import OrderedDict
 from typing import Optional
@@ -102,12 +103,63 @@ class TextLoggerHook(Hook):
         trainer.log_buffer.clear_output()
 
 
+class TensorboardLoggerHook(Hook):
+    """Scalar summaries every ``interval`` iters (reference
+    torchie/trainer/hooks/logger/tensorboard.py:9)."""
+
+    priority = 91
+
+    def __init__(self, interval=20, log_dir=None):
+        self.interval = interval
+        self.log_dir = log_dir
+        self._writer = None
+
+    def before_run(self, trainer):
+        from torch.utils.tensorboard import SummaryWriter
+
+        self._writer = SummaryWriter(
+            self.log_dir or os.path.join(trainer.work_dir, "tf_logs"))
+
+    def after_train_iter(self, trainer):
+        if (trainer.inner_iter + 1) % self.interval != 0 or not self._writer:
+            return
+        trainer.log_buffer.average(self.interval)
+        for k, v in trainer.log_buffer.output.items():
+            tag = k if k in ("time", "data_time") else f"train/{k}"
+            self._writer.add_scalar(tag, v, trainer.global_iter + 1)
+        if "lr" in trainer.current_stats:
+            self._writer.add_scalar("learning_rate",
+                                    trainer.current_stats["lr"],
+                                    trainer.global_iter + 1)
+
+    def after_run(self, trainer):
+        if self._writer:
+            self._writer.close()
+            self._writer = None
+
+
 class CheckpointHook(Hook):
+    """Epoch-interval checkpoints (reference hooks/checkpoint.py:5) plus an
+    optional ``iter_interval``: a rolling ``preempt`` checkpoint every N
+    iterations (SURVEY.md §5 — the reference has nothing comparable; TPU pods
+    preempt). Resuming a preempt checkpoint restarts the interrupted epoch
+    with the saved params/optimizer, so at most N optimizer steps of progress
+    are lost and dataset coverage stays epoch-complete."""
+
     priority = 70
 
-    def __init__(self, interval=1, out_dir=None):
+    def __init__(self, interval=1, out_dir=None, iter_interval=0):
         self.interval = interval
+        self.iter_interval = iter_interval
         self.out_dir = out_dir
+
+    def after_train_iter(self, trainer):
+        if not self.iter_interval:
+            return
+        if (trainer.global_iter + 1) % self.iter_interval != 0:
+            return
+        trainer.save_checkpoint(self.out_dir or trainer.work_dir,
+                                name="preempt", latest=False, mid_epoch=True)
 
     def after_train_epoch(self, trainer):
         if (trainer.epoch + 1) % self.interval != 0:
@@ -119,7 +171,12 @@ def build_hooks(log_config=None, checkpoint_config=None, work_dir=None):
     hooks = [IterTimerHook()]
     if checkpoint_config:
         hooks.append(CheckpointHook(
-            interval=checkpoint_config.get("interval", 1), out_dir=work_dir))
+            interval=checkpoint_config.get("interval", 1), out_dir=work_dir,
+            iter_interval=checkpoint_config.get("iter_interval", 0)))
     interval = (log_config or {}).get("interval", 20)
+    for h in (log_config or {}).get("hooks", [dict(type="TextLoggerHook")]):
+        kind = h.get("type") if isinstance(h, dict) else h
+        if kind == "TensorboardLoggerHook":
+            hooks.append(TensorboardLoggerHook(interval=interval))
     hooks.append(TextLoggerHook(interval=interval))
     return sorted(hooks, key=lambda h: h.priority)

@@ -27,10 +27,18 @@ class Trainer:
     def __init__(self, model, state: TrainState, work_dir: str,
                  train_step: Optional[Callable] = None,
                  hooks=None, logger: Optional[logging.Logger] = None,
-                 meta: Optional[dict] = None):
+                 meta: Optional[dict] = None, mesh=None):
         self.model = model
         self.state = state
         self.work_dir = work_dir
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            # params/opt replicated on every device; gradient psum and SyncBN
+            # statistics come from the SPMD partitioner (reference DDP+apex
+            # SyncBN, torchie/apis/train.py:281,296-303)
+            self.state = replicate(state, mesh)
         self.logger = logger or logging.getLogger("sparse2dense_tpu")
         self.log_buffer = LogBuffer()
         self.hooks = hooks if hooks is not None else build_hooks(work_dir=work_dir)
@@ -47,17 +55,20 @@ class Trainer:
             getattr(h, name)(self)
 
     # ------------------------------------------------------------ checkpoint
-    def save_checkpoint(self, out_dir, name=None):
+    def save_checkpoint(self, out_dir, name=None, latest=True, mid_epoch=False):
         name = name or f"epoch_{self.epoch + 1}"
         meta = dict(self.meta)
-        meta.update(epoch=self.epoch + 1, iter=self.global_iter)
+        # mid-epoch (preemption) saves resume by RESTARTING the interrupted
+        # epoch: params/opt_state are current, data coverage stays complete
+        meta.update(epoch=self.epoch if mid_epoch else self.epoch + 1,
+                    iter=self.global_iter)
         tree = {
             "params": self.state.params,
             "batch_stats": self.state.batch_stats,
             "opt_state": self.state.opt_state,
             "step": self.state.step,
         }
-        path = save_checkpoint(out_dir, name, tree, meta=meta)
+        path = save_checkpoint(out_dir, name, tree, meta=meta, latest=latest)
         self.logger.info(f"saved checkpoint {path}")
         return path
 
@@ -91,6 +102,10 @@ class Trainer:
         for i, batch in enumerate(data_loader):
             self.inner_iter = i
             batch.pop("metadata", None)  # host-only, not jittable
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                batch = shard_batch(batch, self.mesh)
             self.call_hook("before_train_iter")
             metrics = self.step(batch)
             self.log_buffer.update(
@@ -129,8 +144,13 @@ class Trainer:
                 if _needs_example(self.model) else self.model.predict(preds)
 
         detections = {}
+        proc = jax.process_index()
         for batch in data_loader:
             meta = batch.pop("metadata", [None] * 1)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                batch = shard_batch(batch, self.mesh)
             out = infer(variables, batch)
             boxes = np.asarray(out["box3d_lidar"])
             scores = np.asarray(out["scores"])
@@ -138,7 +158,12 @@ class Trainer:
             valid = np.asarray(out["valid"])
             for b in range(boxes.shape[0]):
                 m = valid[b]
-                token = meta[b]["token"] if meta[b] else f"frame_{len(detections)}"
+                if b < len(meta) and meta[b]:
+                    token = meta[b]["token"]
+                else:
+                    # no metadata (synthetic/smoke loaders): key uniquely per
+                    # process so a multi-host merge cannot silently collide
+                    token = f"frame_p{proc}_{len(detections)}"
                 detections[token] = {
                     "box3d_lidar": boxes[b][m],
                     "scores": scores[b][m],
@@ -146,7 +171,45 @@ class Trainer:
                 }
         out_dir = output_dir or os.path.join(self.work_dir, "eval")
         os.makedirs(out_dir, exist_ok=True)
+        detections = gather_detections(detections, out_dir, self.logger)
+        if detections is None:  # non-zero rank in a multi-host run
+            return None, None
         return dataset.evaluation(detections, output_dir=out_dir)
+
+
+def gather_detections(detections: dict, out_dir: str, logger) -> Optional[dict]:
+    """Merge per-process detection dicts (reference all_gather eval merge,
+    torchie/trainer/trainer.py:535-544 / utils.py:114-156).
+
+    Multi-host: every process writes its shard to ``out_dir`` as a pickle,
+    all processes synchronize on device, and process 0 merges; other ranks
+    get None (the reference returns early on non-zero ranks too).
+    Single-process: identity.
+    """
+    if jax.process_count() == 1:
+        return detections
+    import pickle
+
+    shard_path = os.path.join(out_dir, f"detections_shard_{jax.process_index()}.pkl")
+    with open(shard_path, "wb") as f:
+        pickle.dump(detections, f)
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("sparse2dense_eval_gather")
+    if jax.process_index() != 0:
+        return None
+    merged = {}
+    for p in range(jax.process_count()):
+        path = os.path.join(out_dir, f"detections_shard_{p}.pkl")
+        with open(path, "rb") as f:
+            shard = pickle.load(f)
+        overlap = merged.keys() & shard.keys()
+        if overlap:
+            logger.warning(f"eval merge: {len(overlap)} duplicate tokens from "
+                           f"process {p} (padded sampler tail?); keeping first")
+        for k, v in shard.items():
+            merged.setdefault(k, v)
+    return merged
 
 
 def _needs_example(model):

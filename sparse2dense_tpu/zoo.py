@@ -1,0 +1,883 @@
+"""In-repo config zoo: builders for every reference config family.
+
+The reference ships 28 standalone config files (configs/waymo/*, configs/nusc/*
+— the de-facto public API, SURVEY.md §2.7). This module rebuilds each of them
+programmatically so the zoo lives in-repo without 28 copies of the same
+boilerplate: each file under /root/repo/configs is a 3-line stub calling
+:func:`build` with its reference-relative path, and
+tests/test_config_zoo.py asserts field-level parity between every stub and the
+same-named reference file.
+
+Quirks of individual reference files (inconsistent ``distillation`` flags,
+per-variant voxel budgets, the ``_da`` val-path switch, the two-stage
+epoch/interval spread) are reproduced faithfully from the VARIANTS table.
+"""
+from __future__ import annotations
+
+import itertools
+from typing import Optional
+
+from .core.box_coder import build_box_coder
+
+# ---------------------------------------------------------------- tasks
+
+WAYMO_TASKS = [dict(num_class=3, class_names=["VEHICLE", "PEDESTRIAN", "CYCLIST"])]
+
+NUSC_TASKS = [
+    dict(num_class=1, class_names=["car"]),
+    dict(num_class=2, class_names=["truck", "construction_vehicle"]),
+    dict(num_class=2, class_names=["bus", "trailer"]),
+    dict(num_class=1, class_names=["barrier"]),
+    dict(num_class=2, class_names=["motorcycle", "bicycle"]),
+    dict(num_class=2, class_names=["pedestrian", "traffic_cone"]),
+]
+
+
+def _class_names(tasks):
+    return list(itertools.chain(*[t["class_names"] for t in tasks]))
+
+
+# ---------------------------------------------------------------- model blocks
+
+def _centerhead(tasks, dataset, in_channels, weight, n_code, extra=None):
+    heads = {"reg": (2, 2), "height": (1, 2), "dim": (3, 2), "rot": (2, 2)}
+    if dataset == "nuscenes":
+        heads["vel"] = (2, 2)
+    h = dict(
+        type="CenterHead", in_channels=in_channels, tasks=tasks,
+        dataset=dataset, weight=weight,
+        code_weights=[1.0] * n_code if dataset == "waymo"
+        else [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2, 1.0, 1.0],
+        common_heads=heads,
+    )
+    if extra:
+        h.update(extra)
+    return h
+
+
+def _voxelnet_model(tasks, dataset="waymo", student=False, head_extra=None):
+    """CenterPoint-VoxelNet (reference waymo_centerpoint_voxelnet_*.py model
+    block); ``student=True`` gives the KD_VoxelNet + S2D_RPN S2D/PCR student."""
+    return dict(
+        type="KD_VoxelNet" if student else "VoxelNet",
+        pretrained=None,
+        reader=dict(type="VoxelFeatureExtractorV3", num_input_features=5),
+        backbone=dict(type="SpMiddleResNetFHD", num_input_features=5, ds_factor=8),
+        neck=dict(
+            type="S2D_RPN" if student else "RPN",
+            layer_nums=[5, 5], ds_layer_strides=[1, 2], ds_num_filters=[128, 256],
+            us_layer_strides=[1, 2], us_num_filters=[256, 256],
+            num_input_features=256,
+        ),
+        bbox_head=_centerhead(tasks, dataset, sum([256, 256]),
+                              2 if dataset == "waymo" else 0.25,
+                              8, head_extra),
+    )
+
+
+def _pp_model(tasks, dataset="waymo", student=False, voxel_size=(0.32, 0.32, 6.0),
+              pc_range=(-74.88, -74.88, -2, 74.88, 74.88, 4.0),
+              ds_strides=(1, 2, 2), us_strides=(1, 2, 4)):
+    """CenterPoint-Pillar (reference waymo_centerpoint_pp_two_pfn_stride1*.py /
+    nusc_centerpoint_pp_02voxel_two_pfn_10sweep.py model block)."""
+    return dict(
+        type="KD_PointPillars" if student else "PointPillars",
+        pretrained=None,
+        reader=dict(
+            type="PillarFeatureNet", num_filters=[64, 64], num_input_features=5,
+            with_distance=False, voxel_size=tuple(voxel_size), pc_range=tuple(pc_range),
+        ),
+        backbone=dict(
+            type="PointPillarsScatter_S2D" if student else "PointPillarsScatter",
+            ds_factor=1),
+        neck=dict(
+            type="RPN",
+            layer_nums=[3, 5, 5], ds_layer_strides=list(ds_strides),
+            ds_num_filters=[64, 128, 256], us_layer_strides=list(us_strides),
+            us_num_filters=[128, 128, 128], num_input_features=64,
+        ),
+        bbox_head=_centerhead(tasks, dataset, sum([128, 128, 128]),
+                              2 if dataset == "waymo" else 0.25, 8),
+    )
+
+
+_SECOND_BOX_CODER = dict(
+    type="ground_box3d_coder", n_dim=7, linear_dim=False, encode_angle_vector=False,
+)
+
+
+def _second_target_assigner(tasks):
+    """SECOND anchor assigner (reference waymo_second_3x_*.py)."""
+    mk = lambda name, sizes, mt, ut: dict(  # noqa: E731
+        type="anchor_generator_range", sizes=sizes,
+        anchor_ranges=[-74.88, -74.88, 0, 74.88, 74.88, 0],
+        rotations=[0, 1.57], matched_threshold=mt, unmatched_threshold=ut,
+        class_name=name,
+    )
+    return dict(
+        type="iou",
+        anchor_generators=[
+            mk("VEHICLE", [2.08, 4.73, 1.77], 0.55, 0.4),
+            mk("PEDESTRIAN", [0.84, 0.91, 1.74], 0.5, 0.35),
+            mk("CYCLIST", [0.84, 1.81, 1.77], 0.5, 0.3),
+        ],
+        sample_positive_fraction=-1,
+        sample_size=512,
+        region_similarity_calculator=dict(type="nearest_iou_similarity"),
+        pos_area_threshold=-1,
+        tasks=tasks,
+    )
+
+
+def _second_model(tasks, student=False):
+    return dict(
+        type="KD_VoxelNet" if student else "VoxelNet",
+        pretrained=None,
+        reader=dict(type="VoxelFeatureExtractorV3", num_input_features=5),
+        backbone=dict(type="SpMiddleFHD", num_input_features=5, ds_factor=8),
+        neck=dict(
+            type="S2D_RPN" if student else "RPN",
+            layer_nums=[5], ds_layer_strides=[1], ds_num_filters=[128],
+            us_layer_strides=[1], us_num_filters=[128], num_input_features=128,
+        ),
+        bbox_head=dict(
+            type="MultiGroupHead", mode="3d", in_channels=sum([128]),
+            tasks=tasks, weights=[1], box_coder=build_box_coder(_SECOND_BOX_CODER),
+            encode_background_as_zeros=True,
+            loss_norm=dict(type="NormByNumPositives", pos_cls_weight=1.0,
+                           neg_cls_weight=2.0),
+            loss_cls=dict(type="SigmoidFocalLoss", alpha=0.25, gamma=2.0,
+                          loss_weight=1.0),
+            use_sigmoid_score=True,
+            loss_bbox=dict(type="WeightedSmoothL1Loss", sigma=3.0,
+                           code_weights=[1.0] * 7, codewise=True, loss_weight=2.0),
+            encode_rad_error_by_sin=True,
+            loss_aux=dict(type="WeightedSoftmaxClassificationLoss",
+                          name="direction_classifier", loss_weight=0.2),
+            direction_offset=0.0,
+        ),
+    )
+
+
+_ROI_HEAD_MODEL_CFG = dict(
+    CLASS_AGNOSTIC=True,
+    SHARED_FC=[256, 256], CLS_FC=[256, 256], REG_FC=[256, 256], DP_RATIO=0.3,
+    TARGET_CONFIG=dict(
+        ROI_PER_IMAGE=128, FG_RATIO=0.5, SAMPLE_ROI_BY_EACH_CLASS=True,
+        CLS_SCORE_TYPE="roi_iou", CLS_FG_THRESH=0.75, CLS_BG_THRESH=0.25,
+        CLS_BG_THRESH_LO=0.1, HARD_BG_RATIO=0.8, REG_FG_THRESH=0.55,
+    ),
+    LOSS_CONFIG=dict(
+        CLS_LOSS="BinaryCrossEntropy", REG_LOSS="L1",
+        LOSS_WEIGHTS={"rcnn_cls_weight": 1.0, "rcnn_reg_weight": 1.0,
+                      "code_weights": [1.0] * 7},
+    ),
+)
+
+
+def _two_stage_model(first_stage, pretrained, pc_start, voxel_size, out_stride,
+                     input_channels):
+    first = dict(first_stage)
+    first["pretrained"] = pretrained
+    return dict(
+        type="TwoStageDetector",
+        first_stage_cfg=first,
+        second_stage_modules=[dict(
+            type="BEVFeatureExtractor", pc_start=pc_start,
+            voxel_size=voxel_size, out_stride=out_stride,
+        )],
+        roi_head=dict(type="RoIHead", input_channels=input_channels,
+                      model_cfg=dict(_ROI_HEAD_MODEL_CFG), code_size=7),
+        NMS_POST_MAXSIZE=500,
+        num_point=5,
+        freeze=True,
+    )
+
+
+# ---------------------------------------------------------------- data blocks
+
+def _waymo_db_sampler(prefix="../data/waymo"):
+    return dict(
+        type="GT-AUG", enable=False,
+        db_info_path=f"{prefix}/dbinfos_train_1sweeps_withvelo.pkl",
+        sample_groups=[dict(VEHICLE=15), dict(PEDESTRIAN=10), dict(CYCLIST=10)],
+        db_prep_steps=[
+            dict(filter_by_min_num_points=dict(VEHICLE=5, PEDESTRIAN=5, CYCLIST=5)),
+            dict(filter_by_difficulty=[-1]),
+        ],
+        global_random_rotation_range_per_object=[0, 0],
+        rate=1.0,
+    )
+
+
+def _nusc_db_sampler():
+    return dict(
+        type="GT-AUG", enable=False,
+        db_info_path="data/nuScenes/dbinfos_train_10sweeps_withvelo.pkl",
+        sample_groups=[
+            dict(car=2), dict(truck=3), dict(construction_vehicle=7), dict(bus=4),
+            dict(trailer=6), dict(barrier=2), dict(motorcycle=6), dict(bicycle=6),
+            dict(pedestrian=2), dict(traffic_cone=2),
+        ],
+        db_prep_steps=[
+            dict(filter_by_min_num_points=dict(
+                car=5, truck=5, bus=5, trailer=5, construction_vehicle=5,
+                traffic_cone=5, barrier=5, motorcycle=5, bicycle=5, pedestrian=5)),
+            dict(filter_by_difficulty=[-1]),
+        ],
+        global_random_rotation_range_per_object=[0, 0],
+        rate=1.0,
+    )
+
+
+def _pipeline(dataset_type, train_pre, val_pre, voxel_generator, assigner,
+              assign_stage="AssignLabel", load_distill=None, reformat_train=None,
+              reformat_test=None, test_load_distill=None, test_vox_distill=None,
+              double_flip=False):
+    def load(flag):
+        d = dict(type="LoadPointCloudFromFile", dataset=dataset_type)
+        if flag is not None:
+            d["distillation"] = flag
+        return d
+
+    def reformat(flag, flip=False):
+        d = dict(type="Reformat")
+        if flag is not None:
+            d["distillation"] = flag
+        if flip:
+            d = dict(type="Reformat", double_flip=True)
+        return d
+
+    train = [
+        load(load_distill),
+        dict(type="LoadPointCloudAnnotations", with_bbox=True),
+        dict(type="Preprocess", cfg=train_pre),
+        dict(type="Voxelization", cfg=voxel_generator),
+        dict(type=assign_stage, cfg=assigner),
+        reformat(reformat_train),
+    ]
+    test_vox = dict(type="Voxelization", cfg=voxel_generator)
+    if test_vox_distill is not None:
+        test_vox["distillation"] = test_vox_distill
+    test = [
+        load(test_load_distill),
+        dict(type="LoadPointCloudAnnotations", with_bbox=True),
+        dict(type="Preprocess", cfg=val_pre),
+    ]
+    if double_flip:
+        test.append(dict(type="DoubleFlip"))
+    test += [test_vox, dict(type=assign_stage, cfg=assigner),
+             reformat(reformat_test, flip=double_flip)]
+    return train, test
+
+
+def _data(dataset_type, data_root, spg, wpg, class_names, train_pipeline,
+          test_pipeline, train_anno, val_anno, test_anno, nsweeps=1,
+          load_interval=None, test_mode_in_test=False, test_version=None):
+    train = dict(type=dataset_type, root_path=data_root, info_path=train_anno,
+                 ann_file=train_anno, nsweeps=nsweeps, class_names=class_names,
+                 pipeline=train_pipeline)
+    if load_interval is not None:
+        train["load_interval"] = load_interval
+    test = dict(type=dataset_type, root_path=data_root, info_path=test_anno,
+                ann_file=test_anno, nsweeps=nsweeps, class_names=class_names,
+                pipeline=test_pipeline)
+    if test_mode_in_test:
+        test["test_mode"] = True
+    if test_version:
+        test["version"] = test_version
+    return dict(
+        samples_per_gpu=spg, workers_per_gpu=wpg,
+        train=train,
+        val=dict(type=dataset_type, root_path=data_root, info_path=val_anno,
+                 test_mode=True, ann_file=val_anno, nsweeps=nsweeps,
+                 class_names=class_names, pipeline=test_pipeline),
+        test=test,
+    )
+
+
+def _runtime(total_epochs, lr_max=0.003, pct_start=0.4, load_from=None,
+             distillation=None, log_interval=5):
+    out = dict(
+        optimizer_config=dict(grad_clip=dict(max_norm=35, norm_type=2)),
+        optimizer=dict(type="adam", amsgrad=0.0, wd=0.01, fixed_wd=True,
+                       moving_average=False),
+        lr_config=dict(type="one_cycle", lr_max=lr_max, moms=[0.95, 0.85],
+                       div_factor=10.0, pct_start=pct_start),
+        checkpoint_config=dict(interval=1),
+        log_config=dict(interval=log_interval, hooks=[dict(type="TextLoggerHook")]),
+        total_epochs=total_epochs,
+        log_level="INFO",
+        work_dir=None,
+        load_from=load_from,
+        resume_from=None,
+        workflow=[("train", 1)],
+    )
+    if distillation is not None:
+        out["distillation"] = distillation
+    return out
+
+
+# ---------------------------------------------------------------- families
+
+def waymo_voxelnet(variant: str):
+    """waymo_centerpoint_voxelnet_{1x,1x_distill,3x_interval_5,
+    3x_dense_interval_5,3x_distill_interval_5} (reference
+    configs/waymo/voxelnet/)."""
+    tasks = WAYMO_TASKS
+    cn = _class_names(tasks)
+    v = dict(
+        # (model_key, distill_cfg_flags, mv, spg, wpg, epochs, li, pct,
+        #  load_from, bottom_distill, pipe)
+        _1x=dict(key="model", pre_distill=None, mv=150000, spg=8, wpg=4,
+                 epochs=12, li=None, pct=0.4, load_from=None, bottom=None,
+                 load_flag=None, ref_train=None, ref_test=None, student=False,
+                 anno_prefix="../data/waymo", val_suffix=""),
+        _1x_distill=dict(key="model", pre_distill=True, val_distill=False,
+                         mv=150000, spg=3, wpg=4, epochs=12, li=1, pct=0.3,
+                         load_from="./work_dirs/waymo_centerpoint_voxelnet_1x/epoch_12.pth",
+                         bottom=True, load_flag=True, ref_train=True,
+                         ref_test=None, test_vox_flag=False, student=True,
+                         anno_prefix="../data/waymo", val_suffix="_pcd"),
+        _3x_interval_5=dict(key="S_model", pre_distill=False,
+                            mv=[150000, 200000], spg=4, wpg=4, epochs=9,
+                            li=None, pct=0.4, load_from=None, bottom=False,
+                            load_flag=None, ref_train=None, ref_test=None,
+                            student=False, anno_prefix="../data/waymo",
+                            val_suffix=""),
+        _3x_dense_interval_5=dict(key="S_model", pre_distill=True,
+                                  mv=[150000, 200000], spg=1, wpg=0, epochs=30,
+                                  li=5, pct=0.4, load_from=None, bottom=False,
+                                  load_flag=True, ref_train=True, ref_test=True,
+                                  test_load_flag=True, student=False,
+                                  anno_prefix="../data/Waymo", val_suffix=""),
+        _3x_distill_interval_5=dict(key="model", pre_distill=True, mv=150000,
+                                    spg=3, wpg=4, epochs=30, li=5, pct=0.3,
+                                    load_from="./work_dirs/waymo_centerpoint_voxelnet_3x_dense_interval_5/epoch_30.pth",
+                                    bottom=True, load_flag=True, ref_train=True,
+                                    ref_test=None, student=True,
+                                    anno_prefix="../data/waymo", val_suffix=""),
+    )["_" + variant]
+
+    target_assigner = dict(tasks=tasks)
+    out = dict(tasks=tasks, class_names=cn, target_assigner=target_assigner)
+    out[v["key"]] = _voxelnet_model(tasks)
+    if v["student"]:
+        out["S_model"] = _voxelnet_model(tasks, student=True)
+
+    assigner = dict(target_assigner=target_assigner, out_size_factor=8,
+                    dense_reg=1, gaussian_overlap=0.1, max_objs=500, min_radius=2)
+    out["assigner"] = assigner
+    out["train_cfg"] = dict(assigner=assigner)
+    out["test_cfg"] = dict(
+        post_center_limit_range=[-80, -80, -10.0, 80, 80, 10.0],
+        nms=dict(use_rotate_nms=True, use_multi_class_nms=False,
+                 nms_pre_max_size=4096, nms_post_max_size=500,
+                 nms_iou_threshold=0.7),
+        score_threshold=0.1, pc_range=[-75.2, -75.2], out_size_factor=8,
+        voxel_size=[0.1, 0.1],
+    )
+    out.update(dataset_type="WaymoDataset", nsweeps=1, data_root="../data/waymo")
+    out["db_sampler"] = _waymo_db_sampler()
+    tp = dict(mode="train", shuffle_points=True,
+              global_rot_noise=[-0.78539816, 0.78539816],
+              global_scale_noise=[0.95, 1.05], db_sampler=out["db_sampler"],
+              class_names=cn)
+    vp = dict(mode="val", shuffle_points=False)
+    if v["pre_distill"] is not None:
+        tp["distillation"] = v["pre_distill"]
+        vp["distillation"] = v.get("val_distill", v["pre_distill"])
+    out["train_preprocessor"], out["val_preprocessor"] = tp, vp
+    vg = dict(range=[-75.2, -75.2, -2, 75.2, 75.2, 4],
+              voxel_size=[0.1, 0.1, 0.15], max_points_in_voxel=5,
+              max_voxel_num=v["mv"])
+    if v["pre_distill"] is not None:
+        vg["distillation"] = v["pre_distill"]
+    out["voxel_generator"] = vg
+    train_pipe, test_pipe = _pipeline(
+        "WaymoDataset", tp, vp, vg, assigner,
+        load_distill=v["load_flag"], reformat_train=v["ref_train"],
+        reformat_test=v["ref_test"],
+        test_load_distill=v.get("test_load_flag"),
+        test_vox_distill=v.get("test_vox_flag"))
+    out["train_pipeline"], out["test_pipeline"] = train_pipe, test_pipe
+    pre = v["anno_prefix"]
+    out["train_anno"] = f"{pre}/infos_train_01sweeps_filter_zero_gt.pkl"
+    out["val_anno"] = f"{pre}/infos_val_01sweeps_filter_zero_gt{v['val_suffix']}.pkl"
+    out["test_anno"] = None
+    out["data"] = _data("WaymoDataset", "../data/waymo", v["spg"], v["wpg"], cn,
+                        train_pipe, test_pipe, out["train_anno"],
+                        out["val_anno"], None, load_interval=v["li"])
+    out.update(_runtime(v["epochs"], pct_start=v["pct"],
+                        load_from=v["load_from"], distillation=v["bottom"]))
+    return out
+
+
+def waymo_voxelnet_two_stage(variant: str):
+    """two_stage/waymo_centerpoint_voxelnet_two_stage_* (reference
+    configs/waymo/voxelnet/two_stage/)."""
+    tasks = WAYMO_TASKS
+    cn = _class_names(tasks)
+    v = dict(
+        _interval_5=dict(distill=False, da=False, spg=12, wpg=8, epochs=30,
+                         li=5, mv=150000,
+                         pretrained="./work_dirs/waymo_centerpoint_voxelnet_3x_interval_5/epoch_30.pth"),
+        _interval_5_da=dict(distill=False, da=True, spg=12, wpg=8, epochs=30,
+                            li=5, mv=150000,
+                            pretrained="./work_dirs/waymo_centerpoint_voxelnet_3x_interval_5/epoch_30.pth"),
+        _distill=dict(distill=True, da=False, spg=6, wpg=6, epochs=6, li=1,
+                      mv=150000,
+                      pretrained="./work_dirs/waymo_centerpoint_voxelnet_1x_distill/epoch_12.pth"),
+        _distill_interval_5=dict(distill=True, da=False, spg=6, wpg=6,
+                                 epochs=6, li=1, mv=150000,
+                                 pretrained="./work_dirs/waymo_centerpoint_voxelnet_3x_distill_interval_5/epoch_30.pth"),
+        _distill_interval_5_da=dict(distill=True, da=True, spg=6, wpg=6,
+                                    epochs=30, li=5, mv=[150000, 200000],
+                                    pretrained="./work_dirs/waymo_centerpoint_voxelnet_3x_distill_interval_5/epoch_30.pth"),
+    )["_" + variant]
+
+    target_assigner = dict(tasks=tasks)
+    first = _voxelnet_model(tasks, student=v["distill"])
+    out = dict(tasks=tasks, class_names=cn, target_assigner=target_assigner)
+    out["S_model"] = _two_stage_model(
+        first, v["pretrained"], pc_start=[-75.2, -75.2], voxel_size=[0.1, 0.1],
+        out_stride=8, input_channels=512 * 5)
+
+    assigner = dict(target_assigner=target_assigner, out_size_factor=8,
+                    dense_reg=1, gaussian_overlap=0.1, max_objs=500, min_radius=2)
+    out["assigner"] = assigner
+    out["train_cfg"] = dict(assigner=assigner)
+    out["test_cfg"] = dict(
+        post_center_limit_range=[-80, -80, -10.0, 80, 80, 10.0],
+        max_per_img=4096,
+        nms=dict(use_rotate_nms=True, use_multi_class_nms=False,
+                 nms_pre_max_size=4096, nms_post_max_size=500,
+                 nms_iou_threshold=0.7),
+        score_threshold=0.1, pc_range=[-75.2, -75.2], out_size_factor=8,
+        voxel_size=[0.1, 0.1],
+    )
+    out.update(dataset_type="WaymoDataset", nsweeps=1, data_root="../data/waymo")
+    out["db_sampler"] = _waymo_db_sampler()
+    tp = dict(mode="train", shuffle_points=True,
+              global_rot_noise=[-0.78539816, 0.78539816],
+              global_scale_noise=[0.95, 1.05], db_sampler=out["db_sampler"],
+              class_names=cn, distillation=False)
+    vp = dict(mode="val", shuffle_points=False, distillation=False)
+    out["train_preprocessor"], out["val_preprocessor"] = tp, vp
+    vg = dict(range=[-75.2, -75.2, -2, 75.2, 75.2, 4],
+              voxel_size=[0.1, 0.1, 0.15], max_points_in_voxel=5,
+              max_voxel_num=v["mv"], distillation=False)
+    out["voxel_generator"] = vg
+    train_pipe, test_pipe = _pipeline("WaymoDataset", tp, vp, vg, assigner)
+    out["train_pipeline"], out["test_pipeline"] = train_pipe, test_pipe
+    out["train_anno"] = "../data/waymo/infos_train_01sweeps_filter_zero_gt.pkl"
+    out["val_anno"] = ("../data/waymo/domain_adaptation/infos_val_01sweeps_filter_zero_gt.pkl"
+                       if v["da"] else
+                       "../data/waymo/infos_val_01sweeps_filter_zero_gt.pkl")
+    out["test_anno"] = "../data/waymo/infos_test_01sweeps_filter_zero_gt.pkl"
+    out["data"] = _data("WaymoDataset", "../data/waymo", v["spg"], v["wpg"], cn,
+                        train_pipe, test_pipe, out["train_anno"],
+                        out["val_anno"], out["test_anno"],
+                        load_interval=v["li"], test_mode_in_test=True)
+    out.update(_runtime(v["epochs"], pct_start=0.4, distillation=False))
+    return out
+
+
+def waymo_second(variant: str):
+    """waymo_second_3x_* (reference configs/waymo/voxelnet/waymo_second_*)."""
+    tasks = WAYMO_TASKS
+    cn = _class_names(tasks)
+    v = dict(
+        _interval_5=dict(da=False, distill=None, spg=8, wpg=8, epochs=30,
+                         li=None, pct=0.4, load_from=None, student=False,
+                         pre_flag=False, anno_prefix="../data/Waymo"),
+        _interval_5_da=dict(da=True, distill=None, spg=8, wpg=8, epochs=30,
+                            li=None, pct=0.4, load_from=None, student=False,
+                            pre_flag=False, anno_prefix="../data/Waymo"),
+        _dense_interval_5=dict(da=False, distill=None, spg=8, wpg=8, epochs=30,
+                               li=5, pct=0.4, load_from=None, student=False,
+                               pre_flag=True, anno_prefix="../data/Waymo"),
+        _distill_interval_5=dict(da=False, distill=True, spg=4, wpg=8,
+                                 epochs=30, li=5, pct=0.3,
+                                 load_from="./work_dirs/waymo_second_3x_dense_interval_5/epoch_30.pth",
+                                 student=True, pre_flag=True,
+                                 anno_prefix="../data/waymo"),
+        _distill_interval_5_da=dict(da=True, distill=True, spg=4, wpg=8,
+                                    epochs=30, li=5, pct=0.3,
+                                    load_from="./work_dirs/waymo_second_3x_dense_interval_5/epoch_30.pth",
+                                    student=True, pre_flag=True,
+                                    anno_prefix="../data/waymo"),
+    )["_" + variant]
+
+    target_assigner = _second_target_assigner(tasks)
+    out = dict(tasks=tasks, class_names=cn, target_assigner=target_assigner,
+               box_coder=dict(_SECOND_BOX_CODER))
+    key = "model" if v["student"] else "S_model"
+    out[key] = _second_model(tasks)
+    if v["student"]:
+        out["S_model"] = _second_model(tasks, student=True)
+
+    assigner = dict(box_coder=out["box_coder"], target_assigner=target_assigner,
+                    out_size_factor=8, debug=False)
+    out["assigner"] = assigner
+    out["train_cfg"] = dict(assigner=assigner)
+    out["test_cfg"] = dict(
+        post_center_limit_range=[-80, -80, -10.0, 80, 80, 10.0],
+        max_per_img=4096,
+        nms=dict(use_rotate_nms=True, use_multi_class_nms=False,
+                 nms_pre_max_size=1000, nms_post_max_size=100,
+                 nms_iou_threshold=0.01),
+        score_threshold=0.1, pc_range=[-74.88, -74.88], out_size_factor=8,
+    )
+    out.update(dataset_type="WaymoDataset", nsweeps=1, data_root="../data/waymo")
+    out["db_sampler"] = _waymo_db_sampler()
+    tp = dict(mode="train", shuffle_points=True,
+              global_rot_noise=[-0.785, 0.785], global_scale_noise=[0.95, 1.05],
+              db_sampler=out["db_sampler"], class_names=cn,
+              distillation=v["pre_flag"])
+    vp = dict(mode="val", shuffle_points=False, remove_environment=False,
+              remove_unknown_examples=False, distillation=v["pre_flag"])
+    out["train_preprocessor"], out["val_preprocessor"] = tp, vp
+    vg = dict(range=[-75.2, -75.2, -2, 75.2, 75.2, 4],
+              voxel_size=[0.1, 0.1, 0.15], max_points_in_voxel=5,
+              max_voxel_num=150000, distillation=v["pre_flag"])
+    out["voxel_generator"] = vg
+    train_pipe, test_pipe = _pipeline(
+        "WaymoDataset", tp, vp, vg, assigner, assign_stage="AssignTarget",
+        reformat_train=v["pre_flag"],
+        reformat_test=(None if v["distill"] else v["pre_flag"]))
+    out["train_pipeline"], out["test_pipeline"] = train_pipe, test_pipe
+    pre = v["anno_prefix"]
+    out["train_anno"] = f"{pre}/infos_train_01sweeps_filter_zero_gt.pkl"
+    out["val_anno"] = ("../data/waymo/domain_adaptation/infos_val_01sweeps_filter_zero_gt.pkl"
+                       if v["da"] else f"{pre}/infos_val_01sweeps_filter_zero_gt.pkl")
+    out["test_anno"] = None
+    out["data"] = _data("WaymoDataset", "../data/waymo", v["spg"], v["wpg"], cn,
+                        train_pipe, test_pipe, out["train_anno"],
+                        out["val_anno"], None, load_interval=v["li"])
+    out.update(_runtime(v["epochs"], pct_start=v["pct"],
+                        load_from=v["load_from"],
+                        distillation=bool(v["distill"])))
+    return out
+
+
+def waymo_pp(variant: str):
+    """waymo_centerpoint_pp_two_pfn_stride1_3x_* (reference configs/waymo/pp/)."""
+    tasks = WAYMO_TASKS
+    cn = _class_names(tasks)
+    v = dict(
+        _interval_5=dict(pre_distill=False, spg=2, wpg=4, epochs=30, li=5,
+                         load_from=None, bottom=False, student=False,
+                         load_flag=None, ref_train=None, ref_test=None,
+                         anno_prefix="../data/waymo"),
+        _dense_interval_5=dict(pre_distill=True, spg=8, wpg=6, epochs=6,
+                               li=None, load_from=None, bottom=False,
+                               student=False, load_flag=None, ref_train=True,
+                               ref_test=True, anno_prefix="../data/Waymo"),
+        _distill_interval_5=dict(pre_distill=True, spg=3, wpg=4, epochs=30,
+                                 li=5,
+                                 load_from="./work_dirs/waymo_centerpoint_pp_two_pfn_stride1_3x_dense_interval_5/latest.pth",
+                                 bottom=True, student=True, load_flag=True,
+                                 ref_train=True, ref_test=None,
+                                 anno_prefix="../data/waymo"),
+    )["_" + variant]
+
+    target_assigner = dict(tasks=tasks)
+    out = dict(tasks=tasks, class_names=cn, target_assigner=target_assigner)
+    key = "model" if v["student"] else "S_model"
+    out[key] = _pp_model(tasks)
+    if v["student"]:
+        out["S_model"] = _pp_model(tasks, student=True)
+
+    assigner = dict(target_assigner=target_assigner, out_size_factor=1,
+                    dense_reg=1, gaussian_overlap=0.1, max_objs=500, min_radius=2)
+    out["assigner"] = assigner
+    out["train_cfg"] = dict(assigner=assigner)
+    out["test_cfg"] = dict(
+        post_center_limit_range=[-80, -80, -10.0, 80, 80, 10.0],
+        nms=dict(nms_pre_max_size=4096, nms_post_max_size=500,
+                 nms_iou_threshold=0.7),
+        score_threshold=0.1, pc_range=[-74.88, -74.88], out_size_factor=1,
+        voxel_size=[0.32, 0.32],
+    )
+    out.update(dataset_type="WaymoDataset", nsweeps=1, data_root="../data/waymo")
+    out["db_sampler"] = _waymo_db_sampler()
+    tp = dict(mode="train", shuffle_points=True,
+              global_rot_noise=[-0.78539816, 0.78539816],
+              global_scale_noise=[0.95, 1.05], db_sampler=out["db_sampler"],
+              class_names=cn, distillation=v["pre_distill"])
+    vp = dict(mode="val", shuffle_points=False, distillation=v["pre_distill"])
+    out["train_preprocessor"], out["val_preprocessor"] = tp, vp
+    vg = dict(range=[-74.88, -74.88, -2, 74.88, 74.88, 4.0],
+              voxel_size=[0.32, 0.32, 6.0], max_points_in_voxel=20,
+              max_voxel_num=[32000, 60000], distillation=v["pre_distill"])
+    out["voxel_generator"] = vg
+    train_pipe, test_pipe = _pipeline(
+        "WaymoDataset", tp, vp, vg, assigner, load_distill=v["load_flag"],
+        reformat_train=v["ref_train"], reformat_test=v["ref_test"])
+    out["train_pipeline"], out["test_pipeline"] = train_pipe, test_pipe
+    pre = v["anno_prefix"]
+    out["train_anno"] = f"{pre}/infos_train_01sweeps_filter_zero_gt.pkl"
+    out["val_anno"] = f"{pre}/infos_val_01sweeps_filter_zero_gt.pkl"
+    out["test_anno"] = None
+    out["data"] = _data("WaymoDataset", "../data/waymo", v["spg"], v["wpg"], cn,
+                        train_pipe, test_pipe, out["train_anno"],
+                        out["val_anno"], None, load_interval=v["li"])
+    out.update(_runtime(v["epochs"], pct_start=0.4, load_from=v["load_from"],
+                        distillation=v["bottom"]))
+    return out
+
+
+def waymo_pp_two_stage(variant: str):
+    """two_stage/waymo_centerpoint_pp_two_pfn_stride1_two_stage_bev_* (reference
+    configs/waymo/pp/two_stage/)."""
+    tasks = WAYMO_TASKS
+    cn = _class_names(tasks)
+    v = dict(
+        _interval_5=dict(distill=False, da=False, spg=2,
+                         pretrained="work_dirs/waymo_centerpoint_pp_two_pfn_stride1_3x_interval_5/epoch_30.pth"),
+        _interval_5_da=dict(distill=False, da=True, spg=2,
+                            pretrained="work_dirs/waymo_centerpoint_pp_two_pfn_stride1_3x_interval_5/epoch_30.pth"),
+        _distill_interval_5=dict(distill=True, da=False, spg=4,
+                                 pretrained="work_dirs/waymo_centerpoint_pp_two_pfn_stride1_3x_distill_interval_5/epoch_30.pth"),
+        _distill_interval_5_da=dict(distill=True, da=True, spg=4,
+                                    pretrained="work_dirs/waymo_centerpoint_pp_two_pfn_stride1_3x_distill_interval_5/epoch_30.pth"),
+    )["_" + variant]
+
+    target_assigner = dict(tasks=tasks)
+    first = _pp_model(tasks, student=v["distill"])
+    out = dict(tasks=tasks, class_names=cn, target_assigner=target_assigner)
+    out["S_model"] = _two_stage_model(
+        first, v["pretrained"], pc_start=[-74.88, -74.88],
+        voxel_size=[0.32, 0.32], out_stride=1, input_channels=128 * 3 * 5)
+
+    assigner = dict(target_assigner=target_assigner, out_size_factor=1,
+                    dense_reg=1, gaussian_overlap=0.1, max_objs=500, min_radius=2)
+    out["assigner"] = assigner
+    out["train_cfg"] = dict(assigner=assigner)
+    out["test_cfg"] = dict(
+        post_center_limit_range=[-80, -80, -10.0, 80, 80, 10.0],
+        max_per_img=4096,
+        nms=dict(use_rotate_nms=True, use_multi_class_nms=False,
+                 nms_pre_max_size=4096, nms_post_max_size=500,
+                 nms_iou_threshold=0.7),
+        score_threshold=0.1, pc_range=[-74.88, -74.88], out_size_factor=1,
+        voxel_size=[0.32, 0.32],
+    )
+    out.update(dataset_type="WaymoDataset", nsweeps=1, data_root="../data/waymo")
+    out["db_sampler"] = _waymo_db_sampler()
+    tp = dict(mode="train", shuffle_points=True,
+              global_rot_noise=[-0.78539816, 0.78539816],
+              global_scale_noise=[0.95, 1.05], db_sampler=out["db_sampler"],
+              class_names=cn, distillation=False)
+    vp = dict(mode="val", shuffle_points=False, distillation=False)
+    out["train_preprocessor"], out["val_preprocessor"] = tp, vp
+    vg = dict(range=[-74.88, -74.88, -2, 74.88, 74.88, 4.0],
+              voxel_size=[0.32, 0.32, 6.0], max_points_in_voxel=20,
+              max_voxel_num=32000, distillation=False)
+    out["voxel_generator"] = vg
+    train_pipe, test_pipe = _pipeline("WaymoDataset", tp, vp, vg, assigner)
+    out["train_pipeline"], out["test_pipeline"] = train_pipe, test_pipe
+    out["train_anno"] = "../data/waymo/infos_train_01sweeps_filter_zero_gt.pkl"
+    out["val_anno"] = ("../data/waymo/domain_adaptation/infos_val_01sweeps_filter_zero_gt.pkl"
+                       if v["da"] else
+                       "../data/waymo/infos_val_01sweeps_filter_zero_gt.pkl")
+    out["test_anno"] = None
+    out["data"] = _data("WaymoDataset", "../data/waymo", v["spg"], 4, cn,
+                        train_pipe, test_pipe, out["train_anno"],
+                        out["val_anno"], None, load_interval=5)
+    out.update(_runtime(10, pct_start=0.4, distillation=False))
+    return out
+
+
+def nusc_voxelnet(variant: str):
+    """nusc_centerpoint_voxelnet_* (reference configs/nusc/voxelnet/)."""
+    tasks = NUSC_TASKS
+    cn = _class_names(tasks)
+    v = dict(
+        _01voxel=dict(res="01", dcn=False, flip=False, wpg=8,
+                      rot=[-0.3925, 0.3925], scale=[0.95, 1.05], translate=None),
+        _0075voxel_fix_bn_z=dict(res="0075", dcn=False, flip=False, wpg=6,
+                                 rot=[-0.78539816, 0.78539816],
+                                 scale=[0.9, 1.1], translate=0.5),
+        _0075voxel_dcn=dict(res="0075", dcn=True, flip=False, wpg=8,
+                            rot=[-0.3925, 0.3925], scale=[0.95, 1.05],
+                            translate=None),
+        _0075voxel_dcn_flip=dict(res="0075", dcn=True, flip=True, wpg=8,
+                                 rot=[-0.3925, 0.3925], scale=[0.95, 1.05],
+                                 translate=None),
+    )["_" + variant]
+    fine = v["res"] == "0075"
+
+    target_assigner = dict(tasks=tasks)
+    out = dict(tasks=tasks, class_names=cn, target_assigner=target_assigner)
+    if v["flip"]:
+        out["DOUBLE_FLIP"] = True
+    out["model"] = _voxelnet_model(
+        tasks, dataset="nuscenes",
+        head_extra=dict(share_conv_channel=64, dcn_head=v["dcn"]))
+
+    assigner = dict(target_assigner=target_assigner, out_size_factor=8,
+                    gaussian_overlap=0.1, max_objs=500, min_radius=2)
+    if fine:
+        assigner["dense_reg"] = 1
+    out["assigner"] = assigner
+    out["train_cfg"] = dict(assigner=assigner)
+    tc = dict(post_center_limit_range=[-61.2, -61.2, -10.0, 61.2, 61.2, 10.0])
+    if fine:
+        tc["max_per_img"] = 500
+    nms = dict(nms_pre_max_size=1000, nms_post_max_size=83, nms_iou_threshold=0.2)
+    if fine:
+        nms = dict(use_rotate_nms=True, use_multi_class_nms=False, **nms)
+    tc.update(nms=nms, score_threshold=0.1,
+              pc_range=[-54, -54] if fine else [-51.2, -51.2],
+              out_size_factor=8,
+              voxel_size=[0.075, 0.075] if fine else [0.1, 0.1])
+    if v["flip"]:
+        tc["double_flip"] = True
+    out["test_cfg"] = tc
+    out.update(dataset_type="NuScenesDataset", nsweeps=10,
+               data_root="data/nuScenes")
+    out["db_sampler"] = _nusc_db_sampler()
+    tp = dict(mode="train", shuffle_points=True, global_rot_noise=v["rot"],
+              global_scale_noise=v["scale"], db_sampler=out["db_sampler"],
+              class_names=cn)
+    if v["translate"] is not None:
+        tp["global_translate_std"] = v["translate"]
+    vp = dict(mode="val", shuffle_points=False)
+    out["train_preprocessor"], out["val_preprocessor"] = tp, vp
+    vg = dict(
+        range=[-54, -54, -5.0, 54, 54, 3.0] if fine
+        else [-51.2, -51.2, -5.0, 51.2, 51.2, 3.0],
+        voxel_size=[0.075, 0.075, 0.2] if fine else [0.1, 0.1, 0.2],
+        max_points_in_voxel=10,
+        max_voxel_num=[120000, 160000] if fine else [90000, 120000],
+    )
+    if v["flip"]:
+        vg["double_flip"] = True
+    out["voxel_generator"] = vg
+    train_pipe, test_pipe = _pipeline("NuScenesDataset", tp, vp, vg, assigner,
+                                      double_flip=v["flip"])
+    out["train_pipeline"], out["test_pipeline"] = train_pipe, test_pipe
+    out["train_anno"] = "data/nuScenes/infos_train_10sweeps_withvelo_filter_True.pkl"
+    out["val_anno"] = "data/nuScenes/infos_val_10sweeps_withvelo_filter_True.pkl"
+    out["test_anno"] = ("data/nuScenes/infos_test_10sweeps_withvelo_filter_True.pkl"
+                        if v["flip"] else None)
+    out["data"] = _data("NuScenesDataset", "data/nuScenes", 4, v["wpg"], cn,
+                        train_pipe, test_pipe, out["train_anno"],
+                        out["val_anno"], out["test_anno"], nsweeps=10,
+                        test_mode_in_test=v["flip"],
+                        test_version="v1.0-test" if v["flip"] else None)
+    out.update(_runtime(20, lr_max=0.001, pct_start=0.4))
+    return out
+
+
+def nusc_pp(variant: str):
+    """nusc_centerpoint_pp_02voxel_two_pfn_10sweep* (reference configs/nusc/pp/)."""
+    tasks = NUSC_TASKS
+    cn = _class_names(tasks)
+    v = dict(
+        _base=dict(circular=False, demo=False),
+        _circular_nms=dict(circular=True, demo=False),
+        _demo=dict(circular=False, demo=True),
+    )["_" + variant]
+
+    target_assigner = dict(tasks=tasks)
+    out = dict(tasks=tasks, class_names=cn, target_assigner=target_assigner)
+    out["model"] = _pp_model(tasks, dataset="nuscenes",
+                             voxel_size=(0.2, 0.2, 8),
+                             pc_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0),
+                             ds_strides=(2, 2, 2), us_strides=(0.5, 1, 2))
+
+    assigner = dict(target_assigner=target_assigner, out_size_factor=4,
+                    gaussian_overlap=0.1, max_objs=500, min_radius=2)
+    out["assigner"] = assigner
+    out["train_cfg"] = dict(assigner=assigner)
+    tc = dict(
+        post_center_limit_range=[-61.2, -61.2, -10.0, 61.2, 61.2, 10.0],
+        max_per_img=500,
+        nms=dict(nms_pre_max_size=1000, nms_post_max_size=83,
+                 nms_iou_threshold=0.2),
+        score_threshold=0.1, pc_range=[-51.2, -51.2], out_size_factor=4,
+        voxel_size=[0.2, 0.2],
+    )
+    if v["circular"]:
+        tc["min_radius"] = [4, 12, 10, 1, 0.85, 0.175]
+        tc["circular_nms"] = True
+    out["test_cfg"] = tc
+    out.update(dataset_type="NuScenesDataset", nsweeps=10,
+               data_root="data/nuScenes")
+    out["db_sampler"] = _nusc_db_sampler()
+    tp = dict(mode="train", shuffle_points=True,
+              global_rot_noise=[-0.3925, 0.3925],
+              global_scale_noise=[0.95, 1.05], db_sampler=out["db_sampler"],
+              class_names=cn)
+    vp = dict(mode="val", shuffle_points=False)
+    out["train_preprocessor"], out["val_preprocessor"] = tp, vp
+    vg = dict(range=[-51.2, -51.2, -5.0, 51.2, 51.2, 3.0],
+              voxel_size=[0.2, 0.2, 8], max_points_in_voxel=20,
+              max_voxel_num=[30000, 60000])
+    out["voxel_generator"] = vg
+    train_pipe, test_pipe = _pipeline("NuScenesDataset", tp, vp, vg, assigner)
+    out["train_pipeline"], out["test_pipeline"] = train_pipe, test_pipe
+    if v["demo"]:
+        out["train_anno"] = "demo/nuScenes/demo_infos.pkl"
+        out["val_anno"] = "demo/nuScenes/demo_infos.pkl"
+    else:
+        out["train_anno"] = "data/nuScenes/infos_train_10sweeps_withvelo_filter_True.pkl"
+        out["val_anno"] = "data/nuScenes/infos_val_10sweeps_withvelo_filter_True.pkl"
+    out["test_anno"] = None
+    out["data"] = _data("NuScenesDataset", "data/nuScenes", 4, 8, cn,
+                        train_pipe, test_pipe, out["train_anno"],
+                        out["val_anno"], None, nsweeps=10)
+    out.update(_runtime(20, lr_max=0.001, pct_start=0.4))
+    return out
+
+
+# ---------------------------------------------------------------- dispatch
+
+VARIANTS = {
+    # waymo voxelnet
+    "waymo/voxelnet/waymo_centerpoint_voxelnet_1x": (waymo_voxelnet, "1x"),
+    "waymo/voxelnet/waymo_centerpoint_voxelnet_1x_distill": (waymo_voxelnet, "1x_distill"),
+    "waymo/voxelnet/waymo_centerpoint_voxelnet_3x_interval_5": (waymo_voxelnet, "3x_interval_5"),
+    "waymo/voxelnet/waymo_centerpoint_voxelnet_3x_dense_interval_5": (waymo_voxelnet, "3x_dense_interval_5"),
+    "waymo/voxelnet/waymo_centerpoint_voxelnet_3x_distill_interval_5": (waymo_voxelnet, "3x_distill_interval_5"),
+    # waymo voxelnet two-stage
+    "waymo/voxelnet/two_stage/waymo_centerpoint_voxelnet_two_stage_interval_5": (waymo_voxelnet_two_stage, "interval_5"),
+    "waymo/voxelnet/two_stage/waymo_centerpoint_voxelnet_two_stage_interval_5_da": (waymo_voxelnet_two_stage, "interval_5_da"),
+    "waymo/voxelnet/two_stage/waymo_centerpoint_voxelnet_two_stage_distill": (waymo_voxelnet_two_stage, "distill"),
+    "waymo/voxelnet/two_stage/waymo_centerpoint_voxelnet_two_stage_distill_interval_5": (waymo_voxelnet_two_stage, "distill_interval_5"),
+    "waymo/voxelnet/two_stage/waymo_centerpoint_voxelnet_two_stage_distill_interval_5_da": (waymo_voxelnet_two_stage, "distill_interval_5_da"),
+    # waymo SECOND
+    "waymo/voxelnet/waymo_second_3x_interval_5": (waymo_second, "interval_5"),
+    "waymo/voxelnet/waymo_second_3x_interval_5_da": (waymo_second, "interval_5_da"),
+    "waymo/voxelnet/waymo_second_3x_dense_interval_5": (waymo_second, "dense_interval_5"),
+    "waymo/voxelnet/waymo_second_3x_distill_interval_5": (waymo_second, "distill_interval_5"),
+    "waymo/voxelnet/waymo_second_3x_distill_interval_5_da": (waymo_second, "distill_interval_5_da"),
+    # waymo pp
+    "waymo/pp/waymo_centerpoint_pp_two_pfn_stride1_3x_interval_5": (waymo_pp, "interval_5"),
+    "waymo/pp/waymo_centerpoint_pp_two_pfn_stride1_3x_dense_interval_5": (waymo_pp, "dense_interval_5"),
+    "waymo/pp/waymo_centerpoint_pp_two_pfn_stride1_3x_distill_interval_5": (waymo_pp, "distill_interval_5"),
+    # waymo pp two-stage
+    "waymo/pp/two_stage/waymo_centerpoint_pp_two_pfn_stride1_two_stage_bev_interval_5": (waymo_pp_two_stage, "interval_5"),
+    "waymo/pp/two_stage/waymo_centerpoint_pp_two_pfn_stride1_two_stage_bev_interval_5_da": (waymo_pp_two_stage, "interval_5_da"),
+    "waymo/pp/two_stage/waymo_centerpoint_pp_two_pfn_stride1_two_stage_bev_distill_interval_5": (waymo_pp_two_stage, "distill_interval_5"),
+    "waymo/pp/two_stage/waymo_centerpoint_pp_two_pfn_stride1_two_stage_bev_distill_interval_5_da": (waymo_pp_two_stage, "distill_interval_5_da"),
+    # nusc voxelnet
+    "nusc/voxelnet/nusc_centerpoint_voxelnet_01voxel": (nusc_voxelnet, "01voxel"),
+    "nusc/voxelnet/nusc_centerpoint_voxelnet_0075voxel_fix_bn_z": (nusc_voxelnet, "0075voxel_fix_bn_z"),
+    "nusc/voxelnet/nusc_centerpoint_voxelnet_0075voxel_dcn": (nusc_voxelnet, "0075voxel_dcn"),
+    "nusc/voxelnet/nusc_centerpoint_voxelnet_0075voxel_dcn_flip": (nusc_voxelnet, "0075voxel_dcn_flip"),
+    # nusc pp
+    "nusc/pp/nusc_centerpoint_pp_02voxel_two_pfn_10sweep": (nusc_pp, "base"),
+    "nusc/pp/nusc_centerpoint_pp_02voxel_two_pfn_10sweep_circular_nms": (nusc_pp, "circular_nms"),
+    "nusc/pp/nusc_centerpoint_pp_02voxel_two_pfn_10sweep_demo": (nusc_pp, "demo"),
+}
+
+
+def build(relpath: str) -> dict:
+    """Build the config namespace for a zoo entry (reference-relative path,
+    no .py suffix)."""
+    fn, variant = VARIANTS[relpath]
+    return fn(variant)

@@ -142,6 +142,25 @@ def test_input_pipeline_iterates(tmp_path):
     assert batches[0]["voxels"].shape[0] == 2
 
 
+def test_input_pipeline_multiprocess_workers(tmp_path):
+    """num_workers>0 must produce byte-identical batches, in order, via
+    spawn worker processes (the reference's workers_per_gpu path)."""
+    tmp = str(tmp_path)
+    info_path = _write_synthetic_waymo(tmp)
+    cfg = _data_cfg(info_path, tmp, False)
+    # deterministic (val-mode) pipeline so worker-local RNG state is moot
+    cfg["pipeline"][2]["cfg"].update(mode="val", shuffle_points=False)
+    ds = build_dataset(cfg)
+    kw = dict(batch_size=2, max_voxels=128, to_device=False, shuffle=False)
+    ref_batches = list(InputPipeline(ds, prefetch=0, **kw))
+    mp_batches = list(InputPipeline(ds, num_workers=2, **kw))
+    assert len(mp_batches) == len(ref_batches) == 2
+    for a, b in zip(mp_batches, ref_batches):
+        assert sorted(a.keys()) == sorted(b.keys())
+        np.testing.assert_array_equal(a["voxels"], b["voxels"])
+        np.testing.assert_array_equal(a["coordinates"], b["coordinates"])
+
+
 def test_sharded_sampler_partitions():
     s0 = ShardedSampler(10, shuffle=True, seed=1, num_shards=2, shard_id=0)
     s1 = ShardedSampler(10, shuffle=True, seed=1, num_shards=2, shard_id=1)

@@ -92,6 +92,39 @@ def test_resume_roundtrip(trainer_setup):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_intra_epoch_preempt_checkpoint(trainer_setup, tmp_path):
+    """Rolling 'preempt' saves every iter_interval iters; resuming one
+    restarts the interrupted epoch (preemption-safe TPU training)."""
+    cfg, model, loader, tr, _ = trainer_setup
+    work = str(tmp_path / "preempt_work")
+    hooks = build_hooks(dict(interval=100), dict(interval=100, iter_interval=1),
+                        work_dir=work)
+    tr2 = Trainer(model, tr.state, work, hooks=hooks)
+    tr2.train_epoch(loader)
+    assert os.path.isdir(os.path.join(work, "preempt"))
+    # preempt save does NOT repoint 'latest' and resumes into the same epoch
+    assert not os.path.exists(os.path.join(work, "latest"))
+    tr3 = Trainer(model, tr.state, work, hooks=[])
+    tr3.resume(os.path.join(work, "preempt"))
+    assert tr3.epoch == 0
+
+
+def test_tensorboard_hook(trainer_setup, tmp_path):
+    cfg, model, loader, tr, _ = trainer_setup
+    work = str(tmp_path / "tb_work")
+    hooks = build_hooks(
+        dict(interval=1, hooks=[dict(type="TextLoggerHook"),
+                                dict(type="TensorboardLoggerHook")]),
+        None, work_dir=work)
+    tr2 = Trainer(model, tr.state, work, hooks=hooks)
+    tr2.call_hook("before_run")
+    tr2.train_epoch(loader)
+    tr2.call_hook("after_run")
+    tb_dir = os.path.join(work, "tf_logs")
+    files = os.listdir(tb_dir)
+    assert any("tfevents" in f for f in files)
+
+
 def test_train_cli_synthetic(tmp_path, monkeypatch):
     from sparse2dense_tpu.tools import train as train_cli
 
