@@ -36,7 +36,12 @@ def t_conv3d(w):
 
 
 def t_convt2d(w):
-    return np.transpose(w, (2, 3, 0, 1))
+    # torch ConvTranspose2d is the conv gradient; flax ConvTranspose
+    # (transpose_kernel=False) convolves the dilated input with the kernel
+    # as-is, so the torch kernel must be spatially FLIPPED in addition to the
+    # (in,out,kh,kw) -> (kh,kw,in,out) transpose (pinned by
+    # tests/test_convert_golden.py::test_rpn_conversion_golden).
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
 
 
 def t_linear(w):
