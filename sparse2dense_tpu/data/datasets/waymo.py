@@ -71,9 +71,38 @@ class WaymoDataset:
         return self.get_sensor_data(idx)
 
     def evaluation(self, detections, output_dir=None, testset=False):
+        """Write the Waymo-proto detection bin (official metrics come from the
+        external devkit binary, reference waymo.py:98-108) AND compute the
+        in-repo BEV R40 mAP (core/eval.py) as an immediately available local
+        metric — the reference only returns (None, None) here."""
+        import numpy as np
+
         from .waymo_common import _create_pd_detection, reorganize_info
+        from ...core.eval import evaluate_detections
 
         infos = reorganize_info(self.infos)
         _create_pd_detection(detections, infos, output_dir)
-        print("use waymo devkit tool for evaluation")
-        return None, None
+        print("detection bin written; use the waymo devkit tool for the "
+              "official metric")
+        if testset or not self._class_names:
+            return None, None
+        gts = {}
+        for token, info in infos.items():
+            boxes = info.get("gt_boxes")
+            if boxes is None or len(boxes) == 0:
+                continue
+            names = np.asarray(info.get("gt_names"))
+            classes = np.asarray([
+                self._class_names.index(n) + 1 if n in self._class_names else 0
+                for n in names])
+            sel = classes > 0
+            gts[token] = {"gt_boxes": np.asarray(boxes)[sel],
+                          "gt_classes": classes[sel]}
+        if not gts:
+            return None, None
+        res = evaluate_detections(gts, detections, list(self._class_names))
+        summary = ", ".join(
+            f"{k}: {v['ap']:.4f}" for k, v in res.items()
+            if isinstance(v, dict) and "ap" in v)
+        return {"local_bev_mAP": res.get("mAP"), "per_class": res,
+                "results": summary}, None

@@ -409,6 +409,9 @@ class SpMiddleResNetFHD(nn.Module):
     name_tag: str = "SpMiddleResNetFHD"
     is_student: bool = False
     axis_name: Optional[str] = None
+    # profiling aid: truncate the forward after this stage ("conv1".."conv4")
+    # and return (None, multi_scale); used by tools/profile_model.py only
+    stop_after: Optional[str] = None
 
     @nn.compact
     def __call__(self, voxel_features, coords, train: bool = False):
@@ -448,6 +451,8 @@ class SpMiddleResNetFHD(nn.Module):
             x = SparseBasicBlock(16, axis_name=an, name="conv1_0")(x, nbr, train)
             x = SparseBasicBlock(16, axis_name=an, name="conv1_1")(x, nbr, train)
             multi_scale["conv1"] = (x, grid)
+        if self.stop_after == "conv1":
+            return None, multi_scale
 
         for k, (name, ch, stride, pad, ksz) in enumerate(stages, start=1):
             if k <= dfs and dense_x is None:  # sparse downsample (cheap gathers)
@@ -475,6 +480,8 @@ class SpMiddleResNetFHD(nn.Module):
                 dense_x = DenseBasicBlock(ch, axis_name=an, name=f"{name}_1")(
                     dense_x, dense_mask, train)
                 multi_scale[name] = (dense_x, grid)
+            if self.stop_after == name:
+                return None, multi_scale
 
         # extra_conv: z-only stride-2
         if 4 < dfs:

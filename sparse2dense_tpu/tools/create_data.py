@@ -161,19 +161,36 @@ def create_gt_database(root_path, info_path, used_classes=None, nsweeps=1):
     return out
 
 
-def decode_tfrecords(tfrecord_dir, out_dir, split):
+def decode_tfrecords(tfrecord_dir, out_dir, split, workers=8):
     """tfrecord -> per-frame pickles (reference waymo_converter.py:25-56,
-    waymo_decoder.py:22-199). Requires the Waymo devkit + TensorFlow."""
+    waymo_decoder.py:22-199). The range-image -> point math runs in NumPy
+    (data/datasets/waymo_decoder.py, unit-tested without the devkit); only
+    the Frame-proto parsing needs the waymo_open_dataset package."""
     try:
-        import tensorflow  # noqa: F401
         from waymo_open_dataset import dataset_pb2  # noqa: F401
     except ImportError as e:
         raise SystemExit(
-            "tfrecord decoding needs tensorflow + waymo_open_dataset "
+            "tfrecord decoding needs the waymo_open_dataset protos "
             f"(not installed here): {e}. Decode on a machine with the devkit, "
             "then run waymo_data_prep on the resulting pickles."
         )
-    raise NotImplementedError
+    import glob as _glob
+    from multiprocessing import Pool
+
+    from ..data.datasets.waymo_decoder import convert_tfrecord
+
+    records = sorted(_glob.glob(os.path.join(tfrecord_dir, "*.tfrecord")))
+    lidar_dir = os.path.join(out_dir, split, "lidar")
+    anno_dir = os.path.join(out_dir, split, "annos")
+    args = [(rec, lidar_dir, anno_dir, i) for i, rec in enumerate(records)]
+    if workers > 1:
+        with Pool(workers) as pool:
+            counts = pool.starmap(convert_tfrecord, args)
+    else:
+        counts = [convert_tfrecord(*a) for a in args]
+    print(f"decoded {sum(counts)} frames from {len(records)} tfrecords "
+          f"-> {out_dir}/{split}")
+    return sum(counts)
 
 
 def main():
@@ -184,12 +201,21 @@ def main():
     w.add_argument("--split", default="train")
     w.add_argument("--nsweeps", type=int, default=1)
     w.add_argument("--gt_database", action="store_true")
+    d = sub.add_parser("waymo_decode",
+                       help="decode raw .tfrecord files to per-frame pickles")
+    d.add_argument("--tfrecord_dir", required=True)
+    d.add_argument("--root_path", required=True)
+    d.add_argument("--split", default="train")
+    d.add_argument("--workers", type=int, default=8)
     args = p.parse_args()
 
     if args.cmd == "waymo_data_prep":
         info_path = create_waymo_infos(args.root_path, args.split, args.nsweeps)
         if args.gt_database and args.split == "train":
             create_gt_database(args.root_path, info_path, nsweeps=args.nsweeps)
+    elif args.cmd == "waymo_decode":
+        decode_tfrecords(args.tfrecord_dir, args.root_path, args.split,
+                         workers=args.workers)
 
 
 if __name__ == "__main__":

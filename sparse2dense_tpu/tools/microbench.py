@@ -186,7 +186,8 @@ def bench_sort():
 
 
 def bench_pallas_take():
-    """Dynamic gather from a VMEM-resident table inside a Pallas kernel."""
+    """Dynamic gather from a VMEM-resident table inside a Pallas kernel,
+    several Mosaic-lowerable formulations."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -195,38 +196,142 @@ def bench_pallas_take():
     rng = np.random.RandomState(0)
     feat = jnp.asarray(rng.randn(V, C).astype(np.float32))
     idx = jnp.asarray(rng.randint(0, V, size=(V,)).astype(np.int32))
+    ref = np.asarray(feat)[np.asarray(idx)]
 
-    def kernel(idx_ref, feat_ref, out_ref):
-        out_ref[:] = jnp.take(feat_ref[:], idx_ref[:], axis=0)
+    idx2d = jnp.broadcast_to(idx[:, None], (V, C))
+
+    def k_tala2d(idx_ref, feat_ref, out_ref):
+        # Mosaic gather contract: operand/indices/output all same shape
+        out_ref[:] = jnp.take_along_axis(feat_ref[:], idx_ref[:], axis=0)
+
+    def make_blocked(blk):
+        @jax.jit
+        def take(feat, idx2d):
+            grid_spec = pl.GridSpec(
+                grid=(V // blk,),
+                in_specs=[
+                    pl.BlockSpec((blk, C), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((V, C), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((blk, C), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+            )
+            return pl.pallas_call(
+                k_tala2d,
+                out_shape=jax.ShapeDtypeStruct((V, C), jnp.float32),
+                grid_spec=grid_spec,
+            )(idx2d, feat)
+        return take
 
     @jax.jit
-    def take(feat, idx):
+    def take_full(feat, idx2d):
         return pl.pallas_call(
-            kernel,
+            k_tala2d,
             out_shape=jax.ShapeDtypeStruct((V, C), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(idx, feat)
+        )(idx2d, feat)
 
-    try:
-        out = np.asarray(take(feat, idx))
-        ref = np.asarray(feat)[np.asarray(idx)]
-        ok = np.allclose(out, ref)
-        print(f"pallas VMEM take compiles; correct={ok}", flush=True)
-    except Exception as e:
-        print(f"pallas VMEM take FAILED: {type(e).__name__}: {str(e)[:300]}",
-              flush=True)
-        return
+    for name, take in [("tala2d(full)", take_full),
+                       ("tala2d(blk2048)", make_blocked(2048))]:
+        try:
+            out = np.asarray(take(feat, idx2d))
+            ok = np.allclose(out, ref)
+            print(f"pallas {name}: compiles, correct={ok}", flush=True)
+            if not ok:
+                continue
+        except Exception as e:
+            print(f"pallas {name} FAILED: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            continue
 
-    def step(carry, i):
-        ii = (idx + i) % V
-        out = take(feat, ii)
-        s = jnp.sum(out) * 1e-20
-        return carry + s, s
+        def step(carry, i, take=take):
+            ii = idx2d ^ (i & 1)
+            out = take(feat, ii)
+            s = jnp.sum(out) * 1e-20
+            return carry + s, s
 
-    secs = timed_scan(step)
-    report(f"pallas VMEM take V={V} C={C}", secs, useful_bytes=V * C * 4, n=V)
+        secs = timed_scan(step)
+        report(f"pallas {name} V={V} C={C}", secs, useful_bytes=V * C * 4, n=V)
+
+
+def bench_pallas_onehot():
+    """Tile-blocked one-hot gather-matmul fully inside Pallas: each block of
+    BLK output rows gathers from a W-row window via (BLK, W) iota==idx one-hot
+    on the MXU. Models the line/tile-blocked sparse-conv engine where
+    neighbor indices are local to a window."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    V = 1 << 17
+    C = 16
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.randn(V, C).astype(np.float32))
+
+    for BLK, W in ((256, 512), (512, 1024)):
+        # window-local indices: block b gathers rows [b*BLK .. b*BLK+W) % V
+        local = rng.randint(0, W, size=(V,)).astype(np.int32)
+        base = (np.arange(V // BLK) * BLK).astype(np.int32)
+        gidx = (base[:, None] + local.reshape(-1, BLK)) % V
+        ref = np.asarray(feat)[gidx.reshape(-1)]
+        lidx = jnp.asarray(local)
+
+        def kernel(lidx_ref, feat_hbm, out_ref, win, sem):
+            i = pl.program_id(0)
+            start = jnp.minimum(i * BLK, V - W)  # clamp window at the tail
+            dma = pltpu.make_async_copy(feat_hbm.at[pl.ds(start, W), :],
+                                        win, sem)
+            dma.start()
+            dma.wait()
+            onehot = (lidx_ref[:][:, None] ==
+                      jax.lax.broadcasted_iota(jnp.int32, (BLK, W), 1))
+            out_ref[:] = jnp.dot(onehot.astype(jnp.float32), win[:],
+                                 preferred_element_type=jnp.float32)
+
+        @jax.jit
+        def take(feat, lidx):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(V // BLK,),
+                in_specs=[
+                    pl.BlockSpec((BLK,), lambda i: (i,),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                out_specs=pl.BlockSpec((BLK, C), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[pltpu.VMEM((W, C), jnp.float32),
+                                pltpu.SemaphoreType.DMA(())],
+            )
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((V, C), jnp.float32),
+                grid_spec=grid_spec,
+            )(lidx, feat)
+
+        try:
+            out = np.asarray(take(feat, lidx))
+            # block b window starts at b*BLK (wrap ignored in check tail)
+            ok = np.allclose(out[:V - W], ref[:V - W])
+            print(f"pallas onehot BLK={BLK} W={W}: compiles, correct={ok}",
+                  flush=True)
+        except Exception as e:
+            print(f"pallas onehot BLK={BLK} W={W} FAILED: "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+            continue
+
+        def step(carry, i, take=take, lidx=lidx):
+            ii = lidx ^ (i & 1)
+            out = take(feat, ii)
+            s = jnp.sum(out) * 1e-20
+            return carry + s, s
+
+        secs = timed_scan(step)
+        report(f"pallas onehot BLK={BLK} W={W}", secs,
+               useful_bytes=V * C * 4, n=V)
 
 
 def bench_pallas_dma(run_len=1):
@@ -260,7 +365,7 @@ def bench_pallas_dma(run_len=1):
             get(i).start()
             return 0
 
-        jax.lax.fori_loop(0, N, body, 0, unroll=True)
+        jax.lax.fori_loop(0, N, body, 0)
 
         def drain(i, _):
             get(i).wait()
@@ -316,6 +421,7 @@ SUITES = {
     "conv": bench_conv,
     "sort": bench_sort,
     "pallas_take": bench_pallas_take,
+    "pallas_onehot": bench_pallas_onehot,
     "pallas_dma": partial(bench_pallas_dma, 1),
     "pallas_run": lambda: [bench_pallas_dma(r) for r in (8, 64)],
 }

@@ -25,6 +25,8 @@ def parse_args():
     p.add_argument("--max_voxels", type=int, default=None)
     p.add_argument("--speed_test", action="store_true")
     p.add_argument("--testset", action="store_true")
+    p.add_argument("--launcher", default="none", choices=["none", "jax"])
+    p.add_argument("--no_mesh", action="store_true")
     return p.parse_args()
 
 
@@ -46,12 +48,22 @@ def main():
     from ..training.checkpoint import load_checkpoint, merge_params
     from ..training.synthetic import make_batch
 
+    from ..parallel.mesh import init_distributed, make_mesh, shard_batch
+
+    proc_id, proc_count = init_distributed(args.launcher)
+    mesh = None if args.no_mesh else make_mesh()
     cfg = Config.fromfile(args.config)
     model = build_detector(cfg.S_model, train_cfg=cfg.train_cfg,
                            test_cfg=cfg.test_cfg,
                            voxel_generator=cfg.get("voxel_generator"))
     mv = cfg.voxel_generator["max_voxel_num"]
     max_voxels = args.max_voxels or (mv[1] if isinstance(mv, (list, tuple)) else mv)
+    if mesh is not None and not args.speed_test:
+        # eval sharded over devices; speed_test keeps batch-1 single-device
+        # latency semantics (the reference measures one GPU)
+        args.batch_size = args.batch_size * jax.local_device_count()
+        logger.info(f"mesh: {jax.device_count()} devices / {proc_count} "
+                    f"processes, eval batch {args.batch_size}/process")
 
     sample = make_batch(cfg, args.batch_size, max_voxels=max_voxels,
                         n_points=500, n_obj=3, with_targets=False)
@@ -69,7 +81,9 @@ def main():
     split = "test" if args.testset else "val"
     dataset = build_dataset(cfg.data[split])
     loader = InputPipeline(dataset, batch_size=args.batch_size,
-                           max_voxels=max_voxels, shuffle=False)
+                           max_voxels=max_voxels, shuffle=False,
+                           num_shards=proc_count, shard_id=proc_id,
+                           num_workers=int(cfg.data.get("workers_per_gpu", 4) or 0))
 
     @jax.jit
     def infer(variables, batch):
@@ -85,6 +99,8 @@ def main():
     times = []
     for i, batch in enumerate(loader):
         meta = batch.pop("metadata")
+        if mesh is not None and not args.speed_test:
+            batch = shard_batch(batch, mesh)
         t0 = time.perf_counter()
         out = jax.block_until_ready(infer(variables, batch))
         if i >= 2:  # skip compile/warmup frames
@@ -95,7 +111,10 @@ def main():
         valid = np.asarray(out["valid"])
         for b in range(boxes.shape[0]):
             m = valid[b]
-            token = meta[b]["token"] if meta[b] else f"frame_{len(detections)}"
+            if b < len(meta) and meta[b]:
+                token = meta[b]["token"]
+            else:
+                token = f"frame_p{proc_id}_{len(detections)}"
             detections[token] = {
                 "box3d_lidar": boxes[b][m],
                 "scores": scores[b][m],
@@ -106,6 +125,11 @@ def main():
         logger.info(f"inference: {fps:.2f} frames/s "
                     f"({1000 * sum(times) / len(times):.1f} ms/batch)")
     os.makedirs(args.work_dir, exist_ok=True)
+    from ..training.trainer import gather_detections
+
+    detections = gather_detections(detections, args.work_dir, logger)
+    if detections is None:  # non-zero rank of a multi-host run
+        return None
     result = dataset.evaluation(detections, output_dir=args.work_dir,
                                 testset=args.testset)
     logger.info(f"evaluation result: {result}")
