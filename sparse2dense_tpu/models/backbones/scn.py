@@ -270,6 +270,115 @@ class ColDownsample(nn.Module):
         return out, new_zm, ocols, ovalid, hw_out
 
 
+class WinSubMStage(nn.Module):
+    """n x [windowed one-hot subm conv + BN + ReLU] (window engine; parameter
+    names/shapes match SubMStage so checkpoints interchange)."""
+
+    channels: Sequence[int]
+    use_bias: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feats, valid, plan, train: bool):
+        from ...ops import window_conv as WC
+
+        for i, ch in enumerate(self.channels):
+            w = self.param(
+                f"conv_{i}_kernel",
+                nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+                (27, feats.shape[-1], ch),
+            )
+            b = (self.param(f"conv_{i}_bias", nn.initializers.zeros, (ch,))
+                 if self.use_bias else None)
+            wd = WC.taps_zyx_to_dyx(w)
+            feats = jax.vmap(
+                lambda f, p: WC.window_conv_reference(f, p, wd, b)
+            )(feats, plan)
+            feats = BatchNorm(axis_name=self.axis_name, name=f"norm_{i}")(
+                feats, mask=valid[..., None], use_running_average=not train)
+            feats = nn.relu(feats) * valid[..., None].astype(feats.dtype)
+        return feats
+
+
+class WinBasicBlock(nn.Module):
+    """Residual block, window engine (names match SparseBasicBlock)."""
+
+    planes: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feats, valid, plan, train: bool):
+        from ...ops import window_conv as WC
+
+        init = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
+        w1 = self.param("conv1_kernel", init, (27, feats.shape[-1], self.planes))
+        b1 = self.param("conv1_bias", nn.initializers.zeros, (self.planes,))
+        w2 = self.param("conv2_kernel", init, (27, self.planes, self.planes))
+        b2 = self.param("conv2_bias", nn.initializers.zeros, (self.planes,))
+        wd1, wd2 = WC.taps_zyx_to_dyx(w1), WC.taps_zyx_to_dyx(w2)
+        m = valid[..., None].astype(feats.dtype)
+        out = jax.vmap(lambda f, p: WC.window_conv_reference(f, p, wd1, b1))(
+            feats, plan)
+        out = BatchNorm(axis_name=self.axis_name, name="bn1")(
+            out, mask=valid[..., None], use_running_average=not train)
+        out = nn.relu(out) * m
+        out = jax.vmap(lambda f, p: WC.window_conv_reference(f, p, wd2, b2))(
+            out, plan)
+        out = BatchNorm(axis_name=self.axis_name, name="bn2")(
+            out, mask=valid[..., None], use_running_average=not train)
+        return nn.relu(out + feats) * m
+
+
+class WinDownsample(nn.Module):
+    """Strided sparse conv, window engine (names match SparseDownsample)."""
+
+    out_channels: int
+    grid_in: Tuple[int, int, int]
+    stride: Tuple[int, int, int]
+    padding: Tuple[int, int, int]
+    ksize: Tuple[int, int, int] = (3, 3, 3)
+    out_budget: Optional[int] = None
+    block: int = 128
+    window: int = 512
+    resid_budget: int = 1024
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feats, coords, lin, train: bool):
+        from ...ops import window_conv as WC
+        from ...ops.sparse_conv import conv_out_grid
+
+        grid_out = conv_out_grid(self.grid_in, self.stride, self.padding,
+                                 self.ksize)
+        budget = self.out_budget or feats.shape[1]
+        valid_in = jnp.all(coords >= 0, axis=-1)
+        oc, ol = jax.vmap(
+            lambda c, v: WC.downsample_active_set_yxz(
+                c, v, self.grid_in, grid_out, self.stride, self.padding,
+                self.ksize, budget)
+        )(coords, valid_in)
+        plan = jax.vmap(
+            lambda il, o_l, o_c: WC.make_strided_plan(
+                il, o_l, o_c, self.grid_in, grid_out, self.stride,
+                self.padding, self.ksize, block=self.block,
+                window=self.window, resid_budget=self.resid_budget)
+        )(lin, ol, oc)
+        k = int(np.prod(self.ksize))
+        w = self.param(
+            "conv_kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (k, feats.shape[-1], self.out_channels),
+        )
+        wd = WC.taps_zyx_to_dyx(w, self.ksize)
+        out = jax.vmap(lambda f, p: WC.window_conv_reference(f, p, wd))(
+            feats, plan)
+        ovalid = jnp.all(oc >= 0, axis=-1)
+        out = BatchNorm(axis_name=self.axis_name, name="norm")(
+            out, mask=ovalid[..., None], use_running_average=not train)
+        out = nn.relu(out) * ovalid[..., None].astype(out.dtype)
+        return out, oc, ol, ovalid, grid_out
+
+
 class SubMStage(nn.Module):
     """n_convs x [SubMConv3d(3x3x3) BN ReLU] over one shared neighbor table."""
 
@@ -417,6 +526,8 @@ class SpMiddleResNetFHD(nn.Module):
     def __call__(self, voxel_features, coords, train: bool = False):
         if self.engine == "column":
             return self._column_forward(voxel_features, coords, train)
+        if self.engine == "window":
+            return self._window_forward(voxel_features, coords, train)
         an = self.axis_name
         valid = jnp.all(coords >= 0, axis=-1)
         x = SparseTensor(voxel_features, coords.astype(jnp.int32), valid).masked()
@@ -498,6 +609,63 @@ class SpMiddleResNetFHD(nn.Module):
                 name="extra_conv",
             )(dense_x, dense_mask, train)
             bev = dense_to_bev(dense_x)
+        return bev, multi_scale
+
+    def _window_forward(self, voxel_features, coords, train: bool):
+        """Window-engine forward: every stage sparse via windowed one-hot
+        convs (ops/window_conv.py), the TPU-shaped replacement for spconv
+        rulebooks. Parameter tree identical to the gather engine."""
+        from ...ops import window_conv as WC
+
+        an = self.axis_name
+        coords = coords.astype(jnp.int32)
+        valid0 = jnp.all(coords >= 0, axis=-1)
+        feats = voxel_features * valid0[..., None].astype(voxel_features.dtype)
+        v = feats.shape[1]
+        budgets = self.stage_budgets or (v, v, v, v)
+        grid = self.sparse_shape
+
+        feats, coords, lin = jax.vmap(
+            lambda f, c: WC.sort_rows(f, c, grid))(feats, coords)
+        valid = lin < WC.MISS
+
+        def subm_plan(lin, coords, grid, window=512):
+            return jax.vmap(
+                lambda l, c: WC.make_subm_plan_presorted(l, c, grid,
+                                                         window=window)
+            )(lin, coords)
+
+        plan = subm_plan(lin, coords, grid)
+        feats = WinSubMStage((16,), axis_name=an, name="conv_input")(
+            feats, valid, plan, train)
+        feats = WinBasicBlock(16, axis_name=an, name="conv1_0")(
+            feats, valid, plan, train)
+        feats = WinBasicBlock(16, axis_name=an, name="conv1_1")(
+            feats, valid, plan, train)
+        multi_scale = {"conv1": (SparseTensor(feats, coords, valid), grid)}
+
+        stages = [
+            ("conv2", 32, (2, 2, 2), (1, 1, 1), (3, 3, 3)),
+            ("conv3", 64, (2, 2, 2), (1, 1, 1), (3, 3, 3)),
+            ("conv4", 128, (2, 2, 2), (0, 1, 1), (3, 3, 3)),
+        ]
+        for k, (name, ch, stride, pad, ksz) in enumerate(stages, start=1):
+            feats, coords, lin, valid, grid = WinDownsample(
+                ch, grid, stride, pad, ksize=ksz, out_budget=budgets[k - 1],
+                axis_name=an, name=f"{name}_down",
+            )(feats, coords, lin, train)
+            plan = subm_plan(lin, coords, grid)
+            feats = WinBasicBlock(ch, axis_name=an, name=f"{name}_0")(
+                feats, valid, plan, train)
+            feats = WinBasicBlock(ch, axis_name=an, name=f"{name}_1")(
+                feats, valid, plan, train)
+            multi_scale[name] = (SparseTensor(feats, coords, valid), grid)
+
+        feats, coords, lin, valid, g4 = WinDownsample(
+            128, grid, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1),
+            out_budget=budgets[3], axis_name=an, name="extra_conv",
+        )(feats, coords, lin, train)
+        bev = sparse_to_bev(SparseTensor(feats, coords, valid), g4)
         return bev, multi_scale
 
     def _column_forward(self, voxel_features, coords, train: bool):

@@ -1,0 +1,367 @@
+"""Windowed sparse 3D convolution engine — index prep and XLA reference.
+
+The round-1 gather-GEMM engine (ops/sparse_conv.py) is bound by XLA's TPU
+gather throughput (~100-300 Mrows/s regardless of row size — measured in
+tools/microbench.py), putting a 27-tap submanifold conv at ~12-30 ms per
+layer. This engine removes per-row gathers entirely:
+
+1. rows are kept sorted by (y, x, z) linear key, so each BEV column is a
+   contiguous rank range and y-lines are contiguous spans;
+2. a column-rank table T (exclusive prefix count over BEV columns) gives the
+   EXACT rank interval of any column's rows: T[col] .. T[col+1];
+3. a submanifold/strided conv of row r against tap (dy, dx, dz) reads only
+   rows whose sorted rank lies near T[neighbor column] — so each block of
+   BLK consecutive output rows takes its inputs from one contiguous rank
+   WINDOW per dy group (3 windows/block);
+4. inside the window the neighbor match is an equality compare on linear
+   keys (one-hot) contracted on the MXU — no gather instruction anywhere
+   (ops/pallas/window_kernel.py), and an XLA reference here with identical
+   semantics;
+5. rows whose neighbor interval is not certainly inside the window are
+   EXCLUDED from the windowed pass and computed exactly by a small
+   gather-based residual pass (static budget), so the engine is exact, not
+   approximate: out = windowed + residual == gather-GEMM reference
+   (tests/test_window_conv.py parity suite).
+
+Replaces the role of spconv rulebooks (reference external spconv lib,
+consumed at det3d/models/backbones/scn.py:8,104-152) with a TPU-shaped
+formulation: contiguous DMA windows + MXU one-hot contraction.
+
+Coordinates here are (z, y, x) int32 like the rest of the codebase; the sort
+key is the (y, x, z)-major linear index ``yxz_lin``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MISS = 2 ** 30  # sentinel linear key for padded rows (never matches)
+
+
+def yxz_lin(coords: jnp.ndarray, grid: Sequence[int]) -> jnp.ndarray:
+    """(…, 3) zyx coords -> (y*W + x)*D + z linear key; invalid -> MISS."""
+    d, h, w = grid
+    z, y, x = coords[..., 0], coords[..., 1], coords[..., 2]
+    ok = (z >= 0) & (z < d) & (y >= 0) & (y < h) & (x >= 0) & (x < w)
+    return jnp.where(ok, (y * w + x) * d + z, MISS)
+
+
+def sort_rows(features: jnp.ndarray, coords: jnp.ndarray, grid: Sequence[int]):
+    """Sort rows by (y, x, z); padded rows (coords=-1) go last.
+
+    Returns (features, coords, lin) with lin == MISS on padding.
+    """
+    lin = yxz_lin(coords, grid)
+    order = jnp.argsort(lin)
+    return features[order], coords[order], lin[order]
+
+
+def build_rank_table(lin: jnp.ndarray, grid: Sequence[int]) -> jnp.ndarray:
+    """T[col] = rank of the first row with column >= col (exclusive prefix
+    count over BEV columns); shape (H*W + 1,). Requires lin sorted."""
+    d, h, w = grid
+    col = jnp.where(lin < MISS, lin // d, h * w)
+    counts = jnp.zeros((h * w + 1,), jnp.int32).at[col].add(1, mode="drop")
+    return jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(counts[:-1], dtype=jnp.int32)])
+
+
+class ConvPlan(NamedTuple):
+    """Static-shape plan shared by every conv of a stage (same active set)."""
+
+    lin: jnp.ndarray        # (V,) sorted (y,x,z) keys of INPUT rows, MISS pad
+    out_lin: jnp.ndarray    # (Vo,) sorted keys of OUTPUT rows (== lin if subm)
+    base: jnp.ndarray       # (Vo, 3) target input key per dy group (center tap)
+    tap_ok: jnp.ndarray     # (Vo, 27) bool: tap target inside the grid
+    ws: jnp.ndarray         # (nb, 3) int32 window start rank per block/dy
+    windowed: jnp.ndarray   # (Vo, 3) bool: dy group handled by the window pass
+    resid_rows: jnp.ndarray  # (R,) int32 output-row ids needing residual; -1 pad
+    resid_nbr: jnp.ndarray  # (R, 27) int32 input-row ranks per tap, -1 absent
+    n_resid: jnp.ndarray    # () int32: true residual count (may exceed R!)
+    offsets: jnp.ndarray    # (3, 9) per-dy lin offsets (dx, dz taps)
+    win_sentinel: jnp.ndarray  # (window, block) zeros; static size carrier
+
+    def window_size(self) -> int:
+        return self.win_sentinel.shape[-2]
+
+    def block_size(self) -> int:
+        return self.win_sentinel.shape[-1]
+
+
+def make_subm_plan(features, coords, grid, block=128, window=512,
+                   resid_budget=1024, presorted=False, lin=None):
+    """Plan a submanifold conv stage. features/coords may be unsorted; the
+    returned (features, coords, plan) are sorted by (y,x,z). With
+    ``presorted`` (rows already in yxz order, e.g. straight out of
+    downsample_active_set_yxz) the sort is skipped."""
+    if presorted:
+        if lin is None:
+            lin = yxz_lin(coords, grid)
+    else:
+        features, coords, lin = sort_rows(features, coords, grid)
+    plan = _plan(lin, lin, coords, grid, grid, (1, 1, 1), (1, 1, 1),
+                 (3, 3, 3), block, window, resid_budget)
+    return features, coords, plan
+
+
+def make_subm_plan_presorted(lin, coords, grid, block=128, window=512,
+                             resid_budget=1024):
+    """Subm plan for rows already in yxz order (vmap-friendly: plan only)."""
+    return _plan(lin, lin, coords, grid, grid, (1, 1, 1), (1, 1, 1),
+                 (3, 3, 3), block, window, resid_budget)
+
+
+def make_strided_plan(in_lin, out_lin, out_coords, grid_in, grid_out,
+                      stride, padding, ksize=(3, 3, 3), block=128, window=512,
+                      resid_budget=1024):
+    """Plan a strided sparse conv: output rows are the coarse active set
+    (already sorted by yxz)."""
+    return _plan(in_lin, out_lin, out_coords, grid_in, grid_out,
+                 stride, padding, ksize, block, window, resid_budget)
+
+
+def _plan(in_lin, out_lin, out_coords, grid_in, grid_out,
+          stride, padding, ksize, block, window, resid_budget):
+    d, h, w = grid_in
+    sz, sy, sx = stride
+    pz, py, px = padding
+    kz, ky, kx = ksize
+    cz, cy, cx = (kz - 1) // 2, (ky - 1) // 2, (kx - 1) // 2
+    vo = out_lin.shape[0]
+    nb = -(-vo // block)
+    pad_vo = nb * block
+
+    # per-axis CENTER tap input coordinate: o*s - p + c (taps are c +/- 1
+    # where the kernel extends; a size-1 axis has only the center tap)
+    oz = out_coords[..., 0] * sz - pz + cz
+    oy = out_coords[..., 1] * sy - py + cy
+    ox = out_coords[..., 2] * sx - px + cx
+    valid_out = jnp.all(out_coords >= 0, axis=-1)
+
+    # per-row, per-dy target key of the (dy, dx=0, dz=0) tap
+    base = jnp.stack(
+        [((oy + dy) * w + ox) * d + oz for dy in (-1, 0, 1)], axis=-1
+    ).astype(jnp.int32)
+    base = jnp.where(valid_out[:, None], base, MISS)
+
+    # static per-dy tap offsets in input lin space, grouped by dy: tap index
+    # k = ((dy+1)*3 + (dx+1))*3 + (dz+1); taps outside the kernel extent
+    # (size-1 axes) are statically dead via ``live``
+    offsets = np.array(
+        [[(dx * d + dz) for dx in (-1, 0, 1) for dz in (-1, 0, 1)]
+         for dy in (-1, 0, 1)], np.int32,
+    )
+    live = np.array(
+        [abs(dy) <= ky // 2 and abs(dx) <= kx // 2 and abs(dz) <= kz // 2
+         for dy in (-1, 0, 1) for dx in (-1, 0, 1) for dz in (-1, 0, 1)],
+    )
+
+    # validity of each tap target inside the input grid
+    taps = []
+    for i27, (dy, dx, dz) in enumerate(
+        [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1) for c in (-1, 0, 1)]
+    ):
+        ok = ((oy + dy >= 0) & (oy + dy < h) &
+              (ox + dx >= 0) & (ox + dx < w) &
+              (oz + dz >= 0) & (oz + dz < d) & valid_out & bool(live[i27]))
+        taps.append(ok)
+    tap_ok = jnp.stack(taps, axis=-1)
+
+    # block windows from the column-rank table
+    T = build_rank_table(in_lin, grid_in)
+    v_in = in_lin.shape[0]
+    base_cols = jnp.clip(base // d, 0, h * w)  # (Vo, 3)
+    bc = jnp.pad(base_cols, ((0, pad_vo - vo), (0, 0)), constant_values=h * w)
+    bc_blk = bc.reshape(nb, block, 3)
+    lo_rank = T[jnp.clip(bc_blk - 1, 0, h * w)]        # first rank we may need
+    hi_rank = T[jnp.clip(bc_blk + 2, 0, h * w)]        # one past the last
+    blk_lo = jnp.min(jnp.where(bc_blk < h * w, lo_rank, v_in), axis=1)
+    ws = jnp.clip(blk_lo, 0, jnp.maximum(v_in - window, 0)).astype(jnp.int32)
+
+    # a row's dy group is certainly covered iff its full needed rank interval
+    # fits the block window
+    row_lo, row_hi = lo_rank, hi_rank  # (nb, block, 3)
+    inside = (row_lo >= ws[:, None, :]) & (row_hi <= ws[:, None, :] + window)
+    has_need = bc_blk < h * w
+    windowed = (inside | ~has_need).reshape(pad_vo, 3)[:vo]
+
+    # ---- residual rows: any dy group not certainly covered
+    resid_row_mask = jnp.any(~windowed & valid_out[:, None], axis=-1)
+    n_resid = jnp.sum(resid_row_mask.astype(jnp.int32))
+    # compact row ids to a fixed budget (deterministic ascending order)
+    order = jnp.argsort(~resid_row_mask)  # True first, stable
+    order = jnp.concatenate(
+        [order, jnp.zeros((max(resid_budget - vo, 0),), order.dtype)]
+    )[:resid_budget]
+    resid_rows = jnp.where(
+        jnp.arange(resid_budget) < n_resid, order, -1).astype(jnp.int32)
+
+    # exact neighbor ranks for the residual rows via a dense rank grid
+    size = d * h * w
+    safe_lin = jnp.where(in_lin < MISS, in_lin, size)
+    rank_grid = jnp.full((size + 1,), -1, jnp.int32).at[safe_lin].set(
+        jnp.arange(v_in, dtype=jnp.int32), mode="drop")
+    rr = jnp.maximum(resid_rows, 0)
+    # tap k = dyi*9 + j targets key base[:, dyi] + offsets[dyi, j]
+    tgt = (base[rr][:, :, None] + jnp.asarray(offsets)[None, :, :]).reshape(
+        resid_budget, 27)
+    tgt_ok = tap_ok[rr].reshape(resid_budget, 27) & (resid_rows >= 0)[:, None]
+    tgt_safe = jnp.where(tgt_ok & (tgt >= 0) & (tgt < size), tgt, size)
+    resid_nbr = rank_grid[tgt_safe]
+
+    return ConvPlan(in_lin, out_lin, base, tap_ok, ws, windowed, resid_rows,
+                    resid_nbr, n_resid, jnp.asarray(offsets),
+                    jnp.zeros((window, block), jnp.int8))
+
+
+def _dy_tap_slice(k):
+    """tap index k in 0..26 -> (dy index, offset index)."""
+    return k // 9, k % 9
+
+
+def window_conv_reference(features: jnp.ndarray, plan: ConvPlan,
+                          weights: jnp.ndarray, bias=None) -> jnp.ndarray:
+    """XLA reference of the windowed pass + residual pass (exact).
+
+    features: (V_in, Cin) sorted; weights (27, Cin, Cout) with tap order
+    (dy, dx, dz) nested (use ``taps_zyx_to_dyx`` to convert from the gather
+    engine's z-major order). Returns (V_out, Cout).
+    """
+    v_in, cin = features.shape
+    vo = plan.out_lin.shape[0]
+    cout = weights.shape[-1]
+    nb = plan.ws.shape[0]
+    block = plan.block_size()
+    window = plan.window_size()
+    pad_vo = nb * block
+
+    lin_pad = jnp.concatenate(
+        [plan.lin, jnp.full((window,), MISS, plan.lin.dtype)])
+    feat_pad = jnp.concatenate(
+        [features, jnp.zeros((window, cin), features.dtype)])
+
+    base = jnp.pad(plan.base, ((0, pad_vo - vo), (0, 0)),
+                   constant_values=MISS).reshape(nb, block, 3)
+    tap_ok = jnp.pad(plan.tap_ok, ((0, pad_vo - vo), (0, 0))
+                     ).reshape(nb, block, 27)
+    windowed = jnp.pad(plan.windowed, ((0, pad_vo - vo), (0, 0))
+                       ).reshape(nb, block, 3)
+    offsets = jnp.asarray(plan.offsets)
+
+    def block_fn(ws_b, base_b, tap_ok_b, win_b):
+        out = jnp.zeros((block, cout), jnp.float32)
+        for dyi in range(3):
+            start = ws_b[dyi]
+            wl = jax.lax.dynamic_slice(lin_pad, (start,), (window,))
+            wf = jax.lax.dynamic_slice(feat_pad, (start, 0), (window, cin))
+            diff = wl[None, :] - base_b[:, dyi][:, None]  # (block, window)
+            gate = win_b[:, dyi]
+            for j in range(9):
+                k = dyi * 9 + j
+                hit = (diff == offsets[dyi, j]) & tap_ok_b[:, k][:, None] \
+                    & gate[:, None]
+                onehot = hit.astype(features.dtype)
+                out = out + jnp.dot(
+                    onehot, jnp.dot(wf, weights[k],
+                                    preferred_element_type=jnp.float32),
+                    preferred_element_type=jnp.float32)
+        return out
+
+    out = jax.vmap(block_fn)(plan.ws, base, tap_ok, windowed)
+    out = out.reshape(pad_vo, cout)[:vo].astype(features.dtype)
+
+    out = out + residual_conv(features, plan, weights)
+    if bias is not None:
+        out = out + bias
+    valid = plan.out_lin < MISS
+    return out * valid[:, None].astype(out.dtype)
+
+
+def residual_conv(features: jnp.ndarray, plan: ConvPlan,
+                  weights: jnp.ndarray) -> jnp.ndarray:
+    """Exact gather-GEMM for the residual rows, scattered into (V_out, Cout).
+
+    Only the dy groups NOT covered by the window pass are computed here, so
+    windowed + residual partitions the taps exactly."""
+    r = plan.resid_rows.shape[0]
+    cout = weights.shape[-1]
+    vo = plan.out_lin.shape[0]
+    rr = jnp.maximum(plan.resid_rows, 0)
+    # keep only taps whose dy group was excluded from the window pass
+    dy_excluded = ~plan.windowed[rr]  # (R, 3)
+    tap_live = jnp.repeat(dy_excluded, 9, axis=-1) & (plan.resid_nbr >= 0) \
+        & (plan.resid_rows >= 0)[:, None]
+    contrib = jnp.zeros((r, cout), jnp.float32)
+    for k in range(27):
+        idx = jnp.maximum(plan.resid_nbr[:, k], 0)
+        g = features[idx] * tap_live[:, k][:, None].astype(features.dtype)
+        contrib = contrib + jnp.dot(g, weights[k],
+                                    preferred_element_type=jnp.float32)
+    out = jnp.zeros((vo + 1, cout), jnp.float32)
+    tgt = jnp.where(plan.resid_rows >= 0, plan.resid_rows, vo)
+    out = out.at[tgt].add(contrib, mode="drop")
+    return out[:vo].astype(features.dtype)
+
+
+def downsample_active_set_yxz(coords, valid, grid_in, grid_out, stride,
+                              padding, ksize, out_budget):
+    """Active output set of a strided sparse conv, emitted in (y, x, z) sort
+    order (the windowed engine's row order). Same candidate-enumeration
+    dedup as ops/sparse_conv.downsample_active_set — only the ravel order
+    differs, and the output set is identical."""
+    s = jnp.asarray(stride, jnp.int32)
+    p = jnp.asarray(padding, jnp.int32)
+    ks = jnp.asarray(ksize, jnp.int32)
+    ncand = [int(-(-k // st)) for k, st in zip(ksize, stride)]
+    q = (coords + p[None, :]) // s[None, :]
+    combos = np.asarray(
+        [(a, b, c) for a in range(ncand[0]) for b in range(ncand[1])
+         for c in range(ncand[2])], np.int32)
+    o = q[:, None, :] - jnp.asarray(combos)[None, :, :]  # (V, C, 3) zyx
+    k = coords[:, None, :] + p[None, None, :] - o * s[None, None, :]
+    ok = valid[:, None] & jnp.all((k >= 0) & (k < ks[None, None, :]), axis=-1)
+    lin = yxz_lin(o, grid_out)
+    size_out = int(np.prod(grid_out))
+    flat = jnp.where(ok & (lin < MISS), lin, size_out).reshape(-1)
+    sorted_lin = jnp.sort(flat)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_lin[1:] != sorted_lin[:-1]]
+    ) & (sorted_lin < size_out)
+    slot = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    slot = jnp.where(is_first, jnp.minimum(slot, out_budget), out_budget)
+    out_lin = jnp.full((out_budget + 1,), -1, jnp.int32).at[slot].max(
+        sorted_lin.astype(jnp.int32), mode="drop")[:out_budget]
+    out_valid = out_lin >= 0
+    d, h, w = grid_out
+    safe = jnp.maximum(out_lin, 0)
+    oz = safe % d
+    ox = (safe // d) % w
+    oy = safe // (d * w)
+    out_coords = jnp.where(out_valid[:, None],
+                           jnp.stack([oz, oy, ox], -1).astype(jnp.int32), -1)
+    out_lin = jnp.where(out_valid, out_lin, MISS)
+    return out_coords, out_lin.astype(jnp.int32)
+
+
+def taps_zyx_to_dyx(weights_zyx: jnp.ndarray,
+                    ksize: Tuple[int, int, int] = (3, 3, 3)) -> jnp.ndarray:
+    """(K, Cin, Cout) z-major tap order (kz, ky, kx — the gather engine /
+    checkpoint layout, ops/sparse_conv._kernel_offsets) -> this engine's
+    dense (27, Cin, Cout) (dy, dx, dz) nesting, zeros on taps outside the
+    kernel extent (size-1 axes)."""
+    kz, ky, kx = ksize
+    cz, cy, cx = (kz - 1) // 2, (ky - 1) // 2, (kx - 1) // 2
+    out = jnp.zeros((27,) + weights_zyx.shape[1:], weights_zyx.dtype)
+    k27 = 0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                if abs(dy) <= ky // 2 and abs(dx) <= kx // 2 and abs(dz) <= kz // 2:
+                    src = ((dz + cz) * ky + (dy + cy)) * kx + (dx + cx)
+                    out = out.at[k27].set(weights_zyx[src])
+                k27 += 1
+    return out

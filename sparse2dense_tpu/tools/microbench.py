@@ -271,33 +271,36 @@ def bench_pallas_onehot():
     rng = np.random.RandomState(0)
     feat = jnp.asarray(rng.randn(V, C).astype(np.float32))
 
+    interpret = jax.devices()[0].platform == "cpu"
+
     for BLK, W in ((256, 512), (512, 1024)):
         # window-local indices: block b gathers rows [b*BLK .. b*BLK+W) % V
-        local = rng.randint(0, W, size=(V,)).astype(np.int32)
-        base = (np.arange(V // BLK) * BLK).astype(np.int32)
-        gidx = (base[:, None] + local.reshape(-1, BLK)) % V
+        nb = V // BLK
+        local = rng.randint(0, W, size=(nb, BLK)).astype(np.int32)
+        base = (np.arange(nb) * BLK).astype(np.int32)
+        gidx = (base[:, None] + local) % V
         ref = np.asarray(feat)[gidx.reshape(-1)]
-        lidx = jnp.asarray(local)
+        lidx = jnp.asarray(local.reshape(V, 1))  # (BLK, 1) blocks tile fine
 
-        def kernel(lidx_ref, feat_hbm, out_ref, win, sem):
+        def kernel(lidx_ref, feat_hbm, out_ref, win, sem, BLK=BLK, W=W):
             i = pl.program_id(0)
             start = jnp.minimum(i * BLK, V - W)  # clamp window at the tail
             dma = pltpu.make_async_copy(feat_hbm.at[pl.ds(start, W), :],
                                         win, sem)
             dma.start()
             dma.wait()
-            onehot = (lidx_ref[:][:, None] ==
+            onehot = (lidx_ref[:] ==
                       jax.lax.broadcasted_iota(jnp.int32, (BLK, W), 1))
             out_ref[:] = jnp.dot(onehot.astype(jnp.float32), win[:],
                                  preferred_element_type=jnp.float32)
 
-        @jax.jit
-        def take(feat, lidx):
+        @partial(jax.jit, static_argnums=())
+        def take(feat, lidx, kernel=kernel, BLK=BLK, W=W, nb=nb):
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=0,
-                grid=(V // BLK,),
+                grid=(nb,),
                 in_specs=[
-                    pl.BlockSpec((BLK,), lambda i: (i,),
+                    pl.BlockSpec((BLK, 1), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.ANY),
                 ],
@@ -310,6 +313,7 @@ def bench_pallas_onehot():
                 kernel,
                 out_shape=jax.ShapeDtypeStruct((V, C), jnp.float32),
                 grid_spec=grid_spec,
+                interpret=interpret,
             )(lidx, feat)
 
         try:
@@ -320,7 +324,7 @@ def bench_pallas_onehot():
                   flush=True)
         except Exception as e:
             print(f"pallas onehot BLK={BLK} W={W} FAILED: "
-                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+                  f"{type(e).__name__}: {str(e)[:3000]}", flush=True)
             continue
 
         def step(carry, i, take=take, lidx=lidx):
@@ -414,7 +418,69 @@ def bench_pallas_dma(run_len=1):
            useful_bytes=V * C * 4, n=N)
 
 
+def bench_window_ref():
+    """XLA windowed one-hot conv (ops/window_conv reference) vs the gather
+    engine, on a realistic clustered 131k-voxel Waymo-grid scene."""
+    from ..ops import window_conv as WC
+    from ..ops.sparse_conv import (build_index_grid, gather_conv,
+                                   subm_neighbor_table)
+    from .profile_model import synth_voxels
+
+    V = 131072
+    C = 16
+    grid = (41, 1504, 1504)
+    _, coords_np = synth_voxels(V)
+    coords = jnp.asarray(coords_np[0])
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(V, C).astype(np.float32))
+    w_zyx = jnp.asarray(rng.randn(27, C, C).astype(np.float32) * 0.1)
+
+    valid = jnp.all(coords >= 0, axis=-1)
+    feats = feats * valid[:, None]
+
+    # gather engine baseline (table amortized: conv only)
+    table = build_index_grid(coords, valid, grid)
+    nbr = subm_neighbor_table(coords, valid, table, grid)
+
+    def step_g(carry, i):
+        f = feats + carry * 1e-20 + i.astype(jnp.float32) * 1e-12
+        out = gather_conv(f, nbr, w_zyx)
+        s = jnp.sum(out) * 1e-20
+        return carry + s, s
+
+    report("gather engine conv (table amortized)", timed_scan(step_g, 2, 6),
+           n=27 * V)
+
+    for block, window in ((256, 768), (512, 1024)):
+        sf, sc, plan = WC.make_subm_plan(feats, coords, grid, block=block,
+                                         window=window, resid_budget=2048)
+        print(f"  plan block={block} window={window}: n_resid="
+              f"{int(plan.n_resid)}", flush=True)
+        w_dyx = WC.taps_zyx_to_dyx(w_zyx)
+
+        def step_w(carry, i, sf=sf, plan=plan, w_dyx=w_dyx):
+            f = sf + carry * 1e-20 + i.astype(jnp.float32) * 1e-12
+            out = WC.window_conv_reference(f, plan, w_dyx)
+            s = jnp.sum(out) * 1e-20
+            return carry + s, s
+
+        report(f"window XLA ref conv blk={block} W={window}",
+               timed_scan(step_w, 2, 6), n=27 * V)
+
+        def step_p(carry, i, feats=feats):
+            f = feats + carry * 1e-20 + i.astype(jnp.float32) * 1e-12
+            sf2, sc2, plan2 = WC.make_subm_plan(
+                f, coords, grid, block=block, window=window,
+                resid_budget=2048)
+            s = jnp.sum(plan2.ws) * 1e-20 + jnp.sum(sf2[0]) * 1e-20
+            return carry + s.astype(jnp.float32), s.astype(jnp.float32)
+
+        report(f"  plan build blk={block} (per stage)",
+               timed_scan(step_p, 2, 6))
+
+
 SUITES = {
+    "window_ref": bench_window_ref,
     "gather": bench_gather,
     "scatter": bench_scatter,
     "matmul": bench_matmul,
