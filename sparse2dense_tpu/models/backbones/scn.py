@@ -292,7 +292,7 @@ class WinSubMStage(nn.Module):
                  if self.use_bias else None)
             wd = WC.taps_zyx_to_dyx(w)
             feats = jax.vmap(
-                lambda f, p: WC.window_conv_reference(f, p, wd, b)
+                lambda f, p: WC.window_conv(f, p, wd, b)
             )(feats, plan)
             feats = BatchNorm(axis_name=self.axis_name, name=f"norm_{i}")(
                 feats, mask=valid[..., None], use_running_average=not train)
@@ -317,12 +317,12 @@ class WinBasicBlock(nn.Module):
         b2 = self.param("conv2_bias", nn.initializers.zeros, (self.planes,))
         wd1, wd2 = WC.taps_zyx_to_dyx(w1), WC.taps_zyx_to_dyx(w2)
         m = valid[..., None].astype(feats.dtype)
-        out = jax.vmap(lambda f, p: WC.window_conv_reference(f, p, wd1, b1))(
+        out = jax.vmap(lambda f, p: WC.window_conv(f, p, wd1, b1))(
             feats, plan)
         out = BatchNorm(axis_name=self.axis_name, name="bn1")(
             out, mask=valid[..., None], use_running_average=not train)
         out = nn.relu(out) * m
-        out = jax.vmap(lambda f, p: WC.window_conv_reference(f, p, wd2, b2))(
+        out = jax.vmap(lambda f, p: WC.window_conv(f, p, wd2, b2))(
             out, plan)
         out = BatchNorm(axis_name=self.axis_name, name="bn2")(
             out, mask=valid[..., None], use_running_average=not train)
@@ -370,7 +370,7 @@ class WinDownsample(nn.Module):
             (k, feats.shape[-1], self.out_channels),
         )
         wd = WC.taps_zyx_to_dyx(w, self.ksize)
-        out = jax.vmap(lambda f, p: WC.window_conv_reference(f, p, wd))(
+        out = jax.vmap(lambda f, p: WC.window_conv(f, p, wd))(
             feats, plan)
         ovalid = jnp.all(oc >= 0, axis=-1)
         out = BatchNorm(axis_name=self.axis_name, name="norm")(
@@ -755,12 +755,15 @@ class SpMiddleFHD(nn.Module):
     sparse_shape: Tuple[int, int, int] = (41, 1504, 1504)
     stage_budgets: Optional[Tuple[int, int, int, int]] = None
     dense_from_stage: int = 2
+    engine: str = "gather"
     norm_cfg: Optional[dict] = None
     name_tag: str = "SpMiddleFHD"
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, voxel_features, coords, train: bool = False):
+        if self.engine == "window":
+            return self._window_forward(voxel_features, coords, train)
         an = self.axis_name
         valid = jnp.all(coords >= 0, axis=-1)
         x = SparseTensor(voxel_features, coords.astype(jnp.int32), valid).masked()
@@ -817,4 +820,53 @@ class SpMiddleFHD(nn.Module):
                 name="extra_conv",
             )(dense_x, dense_mask, train)
             bev = dense_to_bev(dense_x)
+        return bev, conv4
+
+    def _window_forward(self, voxel_features, coords, train: bool):
+        """All-sparse windowed one-hot engine (see SpMiddleResNetFHD); same
+        parameter tree as the gather engine."""
+        from ...ops import window_conv as WC
+
+        an = self.axis_name
+        coords = coords.astype(jnp.int32)
+        valid0 = jnp.all(coords >= 0, axis=-1)
+        feats = voxel_features * valid0[..., None].astype(voxel_features.dtype)
+        v = feats.shape[1]
+        budgets = self.stage_budgets or (v, v, v, v)
+        grid = self.sparse_shape
+
+        feats, coords, lin = jax.vmap(
+            lambda f, c: WC.sort_rows(f, c, grid))(feats, coords)
+        valid = lin < WC.MISS
+
+        def subm_plan(lin, coords, grid):
+            return jax.vmap(
+                lambda l, c: WC.make_subm_plan_presorted(l, c, grid)
+            )(lin, coords)
+
+        plan = subm_plan(lin, coords, grid)
+        feats = WinSubMStage((16, 16), axis_name=an, name="subm0")(
+            feats, valid, plan, train)
+        conv4 = None
+
+        stages = [
+            ("subm1", "down1", (32, 32), (2, 2, 2), (1, 1, 1), (3, 3, 3)),
+            ("subm2", "down2", (64, 64, 64), (2, 2, 2), (1, 1, 1), (3, 3, 3)),
+            ("subm3", "down3", (64, 64, 64), (2, 2, 2), (0, 1, 1), (3, 3, 3)),
+        ]
+        for k, (name, down, chans, stride, pad, ksz) in enumerate(stages, 1):
+            feats, coords, lin, valid, grid = WinDownsample(
+                chans[0], grid, stride, pad, ksize=ksz,
+                out_budget=budgets[k - 1], axis_name=an, name=down,
+            )(feats, coords, lin, train)
+            plan = subm_plan(lin, coords, grid)
+            feats = WinSubMStage(chans, axis_name=an, name=name)(
+                feats, valid, plan, train)
+            conv4 = (SparseTensor(feats, coords, valid), grid)
+
+        feats, coords, lin, valid, g4 = WinDownsample(
+            64, grid, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1),
+            out_budget=budgets[3], axis_name=an, name="extra_conv",
+        )(feats, coords, lin, train)
+        bev = sparse_to_bev(SparseTensor(feats, coords, valid), g4)
         return bev, conv4

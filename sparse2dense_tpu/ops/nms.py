@@ -23,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .pallas.nms_kernel import suppression_matrix
+from .nms_suppression import suppression_matrix
 
 _BLOCK = 64
 

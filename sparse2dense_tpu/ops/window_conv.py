@@ -131,6 +131,7 @@ def _plan(in_lin, out_lin, out_coords, grid_in, grid_out,
     pz, py, px = padding
     kz, ky, kx = ksize
     cz, cy, cx = (kz - 1) // 2, (ky - 1) // 2, (kx - 1) // 2
+    window = min(window, in_lin.shape[0])  # static; tiny stages
     vo = out_lin.shape[0]
     nb = -(-vo // block)
     pad_vo = nb * block
@@ -223,14 +224,43 @@ def _dy_tap_slice(k):
     return k // 9, k % 9
 
 
-def window_conv_reference(features: jnp.ndarray, plan: ConvPlan,
-                          weights: jnp.ndarray, bias=None) -> jnp.ndarray:
-    """XLA reference of the windowed pass + residual pass (exact).
+def window_conv(features: jnp.ndarray, plan: ConvPlan, weights: jnp.ndarray,
+                bias=None, impl: str = "auto") -> jnp.ndarray:
+    """Windowed pass (Pallas kernel on TPU, XLA reference elsewhere) +
+    residual pass + bias + validity mask.
 
     features: (V_in, Cin) sorted; weights (27, Cin, Cout) with tap order
     (dy, dx, dz) nested (use ``taps_zyx_to_dyx`` to convert from the gather
-    engine's z-major order). Returns (V_out, Cout).
+    engine's z-major order). Returns (V_out, Cout). impl: "auto" | "pallas" |
+    "reference" (overridable via S2D_WINDOW_IMPL for debugging).
     """
+    import os
+
+    impl = os.environ.get("S2D_WINDOW_IMPL", impl)
+    if impl == "auto":
+        impl = ("pallas" if jax.devices()[0].platform == "tpu"
+                else "reference")
+    if impl == "pallas":
+        from .pallas.window_kernel import window_pass_pallas
+
+        out = window_pass_pallas(features, plan, weights)
+    else:
+        out = _window_pass_reference(features, plan, weights)
+    out = out.astype(features.dtype) + residual_conv(features, plan, weights)
+    if bias is not None:
+        out = out + bias
+    valid = plan.out_lin < MISS
+    return out * valid[:, None].astype(out.dtype)
+
+
+def window_conv_reference(features: jnp.ndarray, plan: ConvPlan,
+                          weights: jnp.ndarray, bias=None) -> jnp.ndarray:
+    """XLA-only path of :func:`window_conv` (tests / non-TPU backends)."""
+    return window_conv(features, plan, weights, bias, impl="reference")
+
+
+def _window_pass_reference(features: jnp.ndarray, plan: ConvPlan,
+                           weights: jnp.ndarray) -> jnp.ndarray:
     v_in, cin = features.shape
     vo = plan.out_lin.shape[0]
     cout = weights.shape[-1]
@@ -272,13 +302,7 @@ def window_conv_reference(features: jnp.ndarray, plan: ConvPlan,
         return out
 
     out = jax.vmap(block_fn)(plan.ws, base, tap_ok, windowed)
-    out = out.reshape(pad_vo, cout)[:vo].astype(features.dtype)
-
-    out = out + residual_conv(features, plan, weights)
-    if bias is not None:
-        out = out + bias
-    valid = plan.out_lin < MISS
-    return out * valid[:, None].astype(out.dtype)
+    return out.reshape(pad_vo, cout)[:vo]
 
 
 def residual_conv(features: jnp.ndarray, plan: ConvPlan,

@@ -128,6 +128,27 @@ def test_backbone_window_engine_matches_gather(rng):
                                rtol=2e-3, atol=2e-4)
 
 
+def test_second_backbone_window_engine_matches_gather(rng):
+    from sparse2dense_tpu.models.backbones.scn import SpMiddleFHD
+
+    grid = (41, 32, 32)
+    feats, coords = _clustered_scene(rng, grid, 280)
+    feats = feats[:, :5]
+    feats, coords = _pad(feats, coords, 320)
+    fb, cb = jnp.asarray(feats)[None], jnp.asarray(coords)[None]
+    budgets = (960, 960, 960, 960)
+    ref_bb = SpMiddleFHD(num_input_features=5, sparse_shape=grid,
+                         dense_from_stage=99, engine="gather",
+                         stage_budgets=budgets)
+    win_bb = SpMiddleFHD(num_input_features=5, sparse_shape=grid,
+                         engine="window", stage_budgets=budgets)
+    variables = ref_bb.init(jax.random.PRNGKey(0), fb, cb, False)
+    bev_ref, _ = ref_bb.apply(variables, fb, cb, False)
+    bev_win, _ = win_bb.apply(variables, fb, cb, False)
+    np.testing.assert_allclose(np.asarray(bev_win), np.asarray(bev_ref),
+                               rtol=2e-3, atol=2e-4)
+
+
 def test_residual_actually_fires(rng):
     """With a tiny window the plan must route rows through the residual path
     (otherwise the tight-window case above proves nothing)."""
