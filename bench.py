@@ -1,11 +1,16 @@
-"""Benchmark: single-frame CenterPoint-Pillar inference on the Waymo grid.
+"""Benchmark: single-frame inference on the Waymo grid.
 
-Measures end-to-end on-device latency (reader -> scatter -> RPN -> CenterHead
--> decode -> rotated NMS, one jitted function, batch 1) and reports
-frames/sec/chip. ``vs_baseline`` compares against the closest published
-reference throughput: 31 FPS for the CenterPoint-Pillar model on a TITAN RTX
-(reference configs/nusc/README.md:26-35; the reference publishes no Waymo
-latency numbers — see SURVEY.md §6).
+Two models, both end-to-end on-device (reader -> backbone -> neck -> head ->
+decode -> rotated NMS, one jitted function, batch 1):
+
+1. CenterPoint-Pillar (baseline comparator: 31 FPS published for the pillar
+   model on a TITAN RTX, reference configs/nusc/README.md:26-35);
+2. the FLAGSHIP CenterPoint-VoxelNet + S2D student (KD_VoxelNet, S2D_RPN,
+   150k voxels, 41x1504x1504 grid, windowed one-hot sparse-conv engine);
+   comparator: ~11.5 FPS for spconv CenterPoint-VoxelNet on an RTX 3090
+   (87 ms/frame, the reference's own hardware class; BASELINE.md).
+
+Prints one JSON line per model; the FLAGSHIP line is printed LAST.
 
 Timing methodology (this TPU is reached through a tunnel whose per-dispatch
 round trip is ~30 ms — larger than the model itself):
@@ -29,32 +34,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def main():
+def _bench_model(model, variables, batch, k1=4, k2=12):
     import jax
     import jax.numpy as jnp
-
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-    except Exception:
-        pass
-
-    from sparse2dense_tpu.utils import Config
-    from sparse2dense_tpu.models import build_detector
-    from sparse2dense_tpu.training.synthetic import make_batch
-
-    cfg = Config.fromfile(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "configs", "waymo", "pp", "pp_centerpoint_3x.py")
-    )
-    # Random-init heatmaps sit right at the score threshold and flood NMS
-    # with ~100k fake candidates; a trained detector yields hundreds. Bias
-    # the heatmap head down so the bench reflects trained-density postproc.
-    cfg.S_model["bbox_head"]["init_bias"] = -6.0
-    model = build_detector(cfg.S_model, test_cfg=cfg.test_cfg)
-    max_voxels = int(cfg.voxel_generator["max_voxel_num"][0])
-    batch = make_batch(cfg, 1, max_voxels=max_voxels, n_points=160000,
-                       n_obj=32, with_targets=False)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
 
     def one_frame(carry, eps):
         b = dict(batch)
@@ -90,17 +72,85 @@ def main():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    k1, k2 = 4, 12
     t1, t2 = timed(k1), timed(k2)
     dt = max((t2 - t1) / (k2 - k1), 1e-6)
-    fps = 1.0 / dt
+    return 1.0 / dt
 
+
+def bench_pillar():
+    import jax
+
+    from sparse2dense_tpu.utils import Config
+    from sparse2dense_tpu.models import build_detector
+    from sparse2dense_tpu.training.synthetic import make_batch
+
+    cfg = Config.fromfile(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "configs", "waymo", "pp", "pp_centerpoint_3x.py")
+    )
+    # Random-init heatmaps sit right at the score threshold and flood NMS
+    # with ~100k fake candidates; a trained detector yields hundreds. Bias
+    # the heatmap head down so the bench reflects trained-density postproc.
+    cfg.S_model["bbox_head"]["init_bias"] = -6.0
+    model = build_detector(cfg.S_model, test_cfg=cfg.test_cfg)
+    max_voxels = int(cfg.voxel_generator["max_voxel_num"][0])
+    batch = make_batch(cfg, 1, max_voxels=max_voxels, n_points=160000,
+                       n_obj=32, with_targets=False)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    fps = _bench_model(model, variables, batch)
     print(json.dumps({
         "metric": "pointpillars_waymo_inference",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 31.0, 3),
-    }))
+    }), flush=True)
+
+
+def bench_voxelnet_s2d():
+    """The flagship: CenterPoint-VoxelNet + S2D/PCR student (KD_VoxelNet,
+    SpMiddleResNetFHD windowed engine, S2D_RPN) at the real Waymo scale:
+    150k voxels on the 41x1504x1504 grid. Baseline: spconv CenterPoint-
+    VoxelNet at ~87 ms/frame (11.5 FPS) on an RTX 3090 (BASELINE.md)."""
+    import jax
+
+    from sparse2dense_tpu.utils import Config
+    from sparse2dense_tpu.models import build_detector
+    from sparse2dense_tpu.training.synthetic import make_batch
+
+    cfg = Config.fromfile(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "configs", "waymo",
+            "voxelnet", "waymo_centerpoint_voxelnet_3x_distill_interval_5.py")
+    )
+    cfg.S_model["bbox_head"]["init_bias"] = -6.0
+    cfg.S_model["backbone"]["engine"] = os.environ.get("S2D_ENGINE", "window")
+    cfg.S_model["backbone"]["stage_budgets"] = (150000, 90000, 50000, 30000)
+    model = build_detector(cfg.S_model, test_cfg=cfg.test_cfg,
+                           voxel_generator=cfg.voxel_generator)
+    batch = make_batch(cfg, 1, max_voxels=150000, n_points=170000,
+                       n_obj=32, with_targets=False)
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), batch, train=False))()
+    fps = _bench_model(model, variables, batch, k1=2, k2=6)
+    print(json.dumps({
+        "metric": "centerpoint_voxelnet_s2d_waymo_inference",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 11.5, 3),
+    }), flush=True)
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    except Exception:
+        pass
+    if os.environ.get("S2D_BENCH", "all") in ("all", "pillar"):
+        bench_pillar()
+    if os.environ.get("S2D_BENCH", "all") in ("all", "voxelnet"):
+        bench_voxelnet_s2d()
 
 
 if __name__ == "__main__":

@@ -452,32 +452,24 @@ def bench_window_ref():
            n=27 * V)
 
     w_dyx = WC.taps_zyx_to_dyx(w_zyx)
-    for block, window in ((128, 256), (128, 384), (256, 512), (256, 768)):
+    for block, window in ((256, 512), (128, 384), (256, 768), (512, 512)):
         sf, sc, plan = WC.make_subm_plan(feats, coords, grid, block=block,
                                          window=window, resid_budget=2048)
         print(f"  plan block={block} window={window}: n_resid="
               f"{int(plan.n_resid)}", flush=True)
 
-        def step_w(carry, i, sf=sf, plan=plan):
-            f = sf + carry * 1e-20 + i.astype(jnp.float32) * 1e-12
-            out = WC.window_conv_reference(f, plan, w_dyx)
-            s = jnp.sum(out) * 1e-20
-            return carry + s, s
-
-        report(f"window XLA ref conv blk={block} W={window}",
-               timed_scan(step_w, 2, 6), n=27 * V)
-
         from ..ops.pallas.window_kernel import window_pass_pallas
 
-        try:
-            want = np.asarray(WC._window_pass_reference(sf, plan, w_dyx))
-            got = np.asarray(window_pass_pallas(sf, plan, w_dyx))
-            print(f"  pallas correct vs ref: "
-                  f"{np.allclose(got, want, rtol=1e-3, atol=1e-3)} "
-                  f"(maxerr {np.abs(got - want).max():.2e})", flush=True)
-        except Exception as e:
-            print(f"  pallas correctness check FAILED: "
-                  f"{type(e).__name__}: {str(e)[:500]}", flush=True)
+        if (block, window) == (256, 512):
+            try:
+                want = np.asarray(WC._window_pass_reference(sf, plan, w_dyx))
+                got = np.asarray(window_pass_pallas(sf, plan, w_dyx))
+                print(f"  pallas correct vs ref: "
+                      f"{np.allclose(got, want, rtol=1e-3, atol=1e-3)} "
+                      f"(maxerr {np.abs(got - want).max():.2e})", flush=True)
+            except Exception as e:
+                print(f"  pallas correctness check FAILED: "
+                      f"{type(e).__name__}: {str(e)[:500]}", flush=True)
 
         for dt, tag in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
             def step_k(carry, i, sf=sf, plan=plan, dt=dt):
@@ -494,16 +486,6 @@ def bench_window_ref():
                 print(f"  pallas blk={block} W={window} {tag} FAILED: "
                       f"{type(e).__name__}: {str(e)[:500]}", flush=True)
 
-        def step_p(carry, i, feats=feats, block=block, window=window):
-            f = feats + carry * 1e-20 + i.astype(jnp.float32) * 1e-12
-            sf2, sc2, plan2 = WC.make_subm_plan(
-                f, coords, grid, block=block, window=window,
-                resid_budget=2048)
-            s = jnp.sum(plan2.ws) * 1e-20 + jnp.sum(sf2[0]) * 1e-20
-            return carry + s.astype(jnp.float32), s.astype(jnp.float32)
-
-        report(f"  plan build blk={block} (per stage)",
-               timed_scan(step_p, 2, 6))
 
 
 SUITES = {

@@ -71,6 +71,7 @@ def main():
     p.add_argument("--budgets", default=None)
     p.add_argument("--dfs", type=int, default=2)
     p.add_argument("--stages", default="conv1,conv2,conv3,conv4,full")
+    p.add_argument("--engine", default="gather")
     args = p.parse_args()
 
     import jax
@@ -92,7 +93,8 @@ def main():
     for stage in args.stages.split(","):
         stop = None if stage == "full" else stage
         bb = SpMiddleResNetFHD(num_input_features=5, stage_budgets=budgets,
-                               dense_from_stage=args.dfs, stop_after=stop)
+                               dense_from_stage=args.dfs, stop_after=stop,
+                               engine=args.engine)
         variables = jax.jit(lambda: bb.init(jax.random.PRNGKey(0), featsj,
                                             coordsj, False))()
 

@@ -149,6 +149,26 @@ def test_second_backbone_window_engine_matches_gather(rng):
                                rtol=2e-3, atol=2e-4)
 
 
+def test_kd_voxelnet_window_engine_eval(rng):
+    """The bench path: KD_VoxelNet (S2D_RPN student) with engine='window',
+    eval forward + predict at tiny scale."""
+    import jax.numpy as jnp
+    from sparse2dense_tpu.utils import Config
+    from sparse2dense_tpu.models import build_detector
+    from sparse2dense_tpu.training.synthetic import make_batch
+
+    cfg = Config.fromfile("configs/tests/distill_tiny.py")
+    cfg.S_model["backbone"]["engine"] = "window"
+    model = build_detector(cfg.S_model, test_cfg=cfg.test_cfg,
+                           voxel_generator=cfg.get("voxel_generator"))
+    batch = make_batch(cfg, 1, max_voxels=256, n_points=800, n_obj=3,
+                       with_targets=False)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    preds = model.apply(variables, batch, train=False)
+    out = model.predict(preds, cfg.test_cfg)
+    assert np.isfinite(np.asarray(out["scores"])).all()
+
+
 def test_residual_actually_fires(rng):
     """With a tiny window the plan must route rows through the residual path
     (otherwise the tight-window case above proves nothing)."""
