@@ -370,7 +370,7 @@ class WinDownsample(nn.Module):
             (k, feats.shape[-1], self.out_channels),
         )
         wd = WC.taps_zyx_to_dyx(w, self.ksize)
-        out = jax.vmap(lambda f, p: WC.window_conv(f, p, wd))(
+        out = jax.vmap(lambda f, p: WC.window_conv(f, p, wd, ksize=self.ksize))(
             feats, plan)
         ovalid = jnp.all(oc >= 0, axis=-1)
         out = BatchNorm(axis_name=self.axis_name, name="norm")(

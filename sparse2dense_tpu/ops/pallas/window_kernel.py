@@ -1,14 +1,41 @@
 """Pallas TPU kernel for the windowed one-hot sparse conv main pass.
 
-Same semantics as ops/window_conv.window_conv_reference's windowed part
-(tests/test_window_conv.py pins reference == gather oracle; the kernel is
-pinned against the reference in tests/test_window_kernel.py): for each block
-of BLK output rows and each dy group, slice a W-row rank window from the
-VMEM-resident sorted features, build the 9 tap one-hots by comparing window
-linear keys against per-row target keys, and contract them on the MXU.
+Same semantics as ops/window_conv._window_pass_reference (pinned against the
+gather oracle in tests/test_window_conv.py and against this kernel in
+tests/test_window_kernel.py): for each block of BLK=128 output rows, slice a
+W-row rank window from the VMEM-resident sorted features, build the per-tap
+one-hots by comparing window keys against per-row target keys, and contract
+them on the MXU. No gather instruction and no HBM DMA in the inner loop.
 
-No gather instruction and no HBM DMA in the inner loop — the features and
-keys live in VMEM for the whole kernel; windows are dynamic VMEM slices.
+Masking is done entirely in KEY ARITHMETIC, not kernel ops: the keys are
+guard-banded (ops/window_conv.yxz_lin) so out-of-grid taps can never match,
+and plan.kbase carries GATE for dy groups owned by the residual pass. The
+kernel body is therefore just int32 compares + MXU dots.
+
+The conv is issued as ONE PALLAS CALL PER dy GROUP (up to 3), with the dy
+slice of ws/kbase/offsets/weights carved out by XLA so all calls share one
+kernel binary; the caller sums the partial outputs.
+
+Mosaic-compile constraints discovered on the v5e remote-compile path shaped
+every layout choice here (violations => multi-minute remote compiles,
+HTTP 500s, hangs, or VMEM blow-ups):
+- a whole-VMEM (V, 1) int32 operand is LANE-PADDED 128x (64 MB at V=131k!);
+  keys are therefore passed PACKED as (V/128, 128) row-major, which also
+  forces window starts to 128-rank alignment (plan.ws is pre-divided by 128
+  and multiplied back in-kernel so Mosaic can PROVE the alignment);
+- a (1, 128) lane-vector cannot be relayouted to a (128, 1) sublane-vector
+  (reshape/transpose both hang) — the per-row target keys are instead
+  transposed ON THE MXU: split int32 into exact-in-f32 hi/lo halves, two
+  identity matmuls, recombine;
+- results of dynamic VMEM slices and broadcasts must be MATERIALIZED into
+  scratch before fanning out to the 9 compare/dot chains, and one kernel
+  must stay at ~1 dy group x 9 taps, else compile time explodes;
+- no int8/bool operands, no boolean masking, no narrow blocked specs;
+- whole-VMEM operands must stay under 2**23 bytes — hence bf16 window
+  features (which also halve MXU time; accumulation stays fp32).
+
+Replaces the spconv rulebook role of the reference backbone
+(/root/reference/det3d/models/backbones/scn.py:89-185).
 """
 from __future__ import annotations
 
@@ -20,71 +47,118 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+BLK = 128  # output rows per grid step; fixed by the packed-key layout
 
-def _kernel(ws_ref, base_ref, tapok_ref, gate_ref, offs_ref, lin_ref,
-            feat_ref, w_ref, out_ref, *, block, window, n_in, compute_dtype):
+
+def _live_taps(ksize):
+    """Static live dy groups and in-group tap indices for a (kz, ky, kx)
+    kernel: dy taps exist iff ky == 3, (dx, dz) taps iff kx/kz == 3. j
+    indexes the (dx, dz) pairs inside a dy group; k27 = dyi * 9 + j."""
+    kz, ky, kx = ksize
+    dys = (0, 1, 2) if ky == 3 else (1,)
+    dxs = (0, 1, 2) if kx == 3 else (1,)
+    dzs = (0, 1, 2) if kz == 3 else (1,)
+    js = tuple(dxi * 3 + dzi for dxi in dxs for dzi in dzs)
+    return dys, js
+
+
+def _dy_kernel(ws_ref, kb_ref, offs_ref, eye_ref, lin_ref, feat_ref, w_ref,
+               out_ref, diff_ref, wf_ref, *, window, n_in, js, compute_dtype):
     i = pl.program_id(0)
-    cin = feat_ref.shape[1]
     cout = out_ref.shape[1]
-    acc = jnp.zeros((block, cout), jnp.float32)
-    for dyi in range(3):
-        start = jnp.minimum(ws_ref[i, dyi], n_in - window)
-        wl = lin_ref[pl.ds(start, window), :]      # (W, 1) int32
-        wf = feat_ref[pl.ds(start, window), :]     # (W, Cin)
-        if compute_dtype != wf.dtype:
-            wf = wf.astype(compute_dtype)
-        diff = wl.reshape(1, window) - base_ref[:, dyi][:, None]  # (BLK, W)
-        gate = gate_ref[:, dyi][:, None] > 0
-        for j in range(9):
-            k = dyi * 9 + j
-            hit = (diff == offs_ref[dyi, j]) \
-                & (tapok_ref[:, k][:, None] > 0) & gate
-            onehot = hit.astype(compute_dtype)
-            g = jnp.dot(onehot, wf, preferred_element_type=jnp.float32)
-            acc = acc + jnp.dot(g.astype(compute_dtype),
-                                w_ref[k].astype(compute_dtype),
-                                preferred_element_type=jnp.float32)
+    # ws holds start/128; multiplying back makes the 128-rank (and hence
+    # 16-sublane bf16) alignment of the slices provable
+    s128 = jnp.minimum(ws_ref[i, 0], (n_in - window) // 128)
+    wf_ref[:] = feat_ref[pl.ds(s128 * 128, window), :]
+
+    # target keys for this block arrive packed as the (1, 128) row i of
+    # kb_ref; MXU-transpose them to a (BLK, 1) sublane vector via exact
+    # f32 hi/lo halves (keys are < 2**27; direct relayout does not compile)
+    row = kb_ref[pl.ds(i, 1), :]                       # (1, BLK) int32
+    hi = (row >> 12).astype(jnp.float32)
+    lo = (row & 4095).astype(jnp.float32)
+    dn = (((1,), (1,)), ((), ()))
+    hic = jax.lax.dot_general(eye_ref[:], hi, dn,
+                              preferred_element_type=jnp.float32)
+    loc = jax.lax.dot_general(eye_ref[:], lo, dn,
+                              preferred_element_type=jnp.float32)
+    trow = hic.astype(jnp.int32) * 4096 + loc.astype(jnp.int32)  # (BLK, 1)
+
+    # materialize diff = window keys - target keys, 128 lanes at a time
+    for br in range(window // 128):
+        lrow = lin_ref[pl.ds(s128 + br, 1), :]         # (1, 128) int32
+        diff_ref[:, br * 128:(br + 1) * 128] = lrow - trow
+
+    diff = diff_ref[:]
+    wf = wf_ref[:]
+    acc = jnp.zeros((BLK, cout), jnp.float32)
+    for jx, j in enumerate(js):
+        hit = (diff == offs_ref[0, j]).astype(compute_dtype)
+        g = jnp.dot(hit, wf, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(g.astype(compute_dtype),
+                            w_ref[jx].astype(compute_dtype),
+                            preferred_element_type=jnp.float32)
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
-def window_pass_pallas(features, plan, weights, *, interpret=False,
-                       compute_dtype=jnp.float32):
+def window_pass_pallas(features, plan, weights, *, ksize=(3, 3, 3),
+                       interpret=False, compute_dtype=jnp.bfloat16):
     """The windowed main pass only (residual/bias/masking handled by the
     caller, ops/window_conv.window_conv). features (V_in, Cin) sorted;
-    weights (27, Cin, Cout) in (dy, dx, dz) tap order. Returns (V_out, Cout)
-    float32."""
+    weights (27, Cin, Cout) in (dy, dx, dz) tap order (zeros on dead taps).
+    ksize statically prunes dead taps. Returns (V_out, Cout) float32.
+
+    One pallas call per live dy group; the dy slicing of ws / kbase /
+    offsets / weights happens here in XLA so every call lowers to the same
+    Mosaic kernel binary. Requires plan block_size == 128.
+    """
     v_in, cin = features.shape
     cout = weights.shape[-1]
     vo = plan.out_lin.shape[0]
     nb = plan.ws.shape[0]
     block, window = plan.block_size(), plan.window_size()
+    if block != BLK:
+        raise ValueError(f"pallas window engine requires block=128, "
+                         f"got {block}")
+    if window % 128:
+        raise ValueError(f"pallas window engine requires window % 128 == 0, "
+                         f"got {window}")
     pad_vo = nb * block
+    dys, js = _live_taps(ksize)
 
-    def pad_rows(x, fill=0):
-        return jnp.pad(x, ((0, pad_vo - vo),) + ((0, 0),) * (x.ndim - 1),
-                       constant_values=fill)
+    # packed whole-VMEM layouts (narrow arrays are lane-padded 128x)
+    v_pad = -(-v_in // 128) * 128
+    lin_p = jnp.pad(plan.lin, (0, v_pad - v_in),
+                    constant_values=2 ** 30).reshape(v_pad // 128, 128)
+    featc = features.astype(compute_dtype)
+    eye = jnp.eye(BLK, dtype=jnp.float32)
 
-    base = pad_rows(plan.base, fill=2 ** 30 - 1)
-    tapok = pad_rows(plan.tap_ok).astype(jnp.int8)
-    gate = pad_rows(plan.windowed).astype(jnp.int8)
-    lin2d = plan.lin.reshape(v_in, 1)
-
-    out = pl.pallas_call(
-        partial(_kernel, block=block, window=window, n_in=v_in,
+    call = pl.pallas_call(
+        partial(_dy_kernel, window=window, n_in=v_in, js=js,
                 compute_dtype=compute_dtype),
         out_shape=jax.ShapeDtypeStruct((pad_vo, cout), jnp.float32),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),              # ws (nb, 3)
-            pl.BlockSpec((block, 3), lambda i: (i, 0)),          # base
-            pl.BlockSpec((block, 27), lambda i: (i, 0)),         # tap_ok
-            pl.BlockSpec((block, 3), lambda i: (i, 0)),          # gate
-            pl.BlockSpec(memory_space=pltpu.SMEM),              # offsets (3,9)
-            pl.BlockSpec(memory_space=pltpu.VMEM),              # lin (V,1)
-            pl.BlockSpec(memory_space=pltpu.VMEM),              # feat (V,C)
-            pl.BlockSpec(memory_space=pltpu.VMEM),              # weights
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # ws/128 dy col (nb, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # kbase dy packed (nb,128)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # offsets dy row (1, 9)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # eye (128, 128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # lin packed (V/128, 128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # feat (V, Cin)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # weights (|js|, Cin, Cout)
         ],
-        out_specs=pl.BlockSpec((block, cout), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((BLK, cout), lambda i: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((BLK, window), jnp.int32),
+                        pltpu.VMEM((window, cin), compute_dtype)],
         interpret=interpret,
-    )(plan.ws, base, tapok, gate, plan.offsets, lin2d, features, weights)
+    )
+
+    out = None
+    w27 = weights.reshape(3, 9, cin, cout)
+    for dyi in dys:
+        part = call(plan.ws[:, dyi:dyi + 1] // 128,
+                    plan.kbase[:, dyi].reshape(nb, BLK),
+                    plan.offsets[dyi:dyi + 1, :],
+                    eye, lin_p, featc, w27[dyi][jnp.asarray(js)])
+        out = part if out is None else out + part
     return out[:vo]

@@ -28,7 +28,14 @@ consumed at det3d/models/backbones/scn.py:8,104-152) with a TPU-shaped
 formulation: contiguous DMA windows + MXU one-hot contraction.
 
 Coordinates here are (z, y, x) int32 like the rest of the codebase; the sort
-key is the (y, x, z)-major linear index ``yxz_lin``.
+key is the (y, x, z)-major linear index ``yxz_lin`` over a GUARD-BANDED key
+space: every axis is padded by one cell on each side, so the key of a tap
+target that steps off the grid lands in an (empty) guard cell instead of
+wrapping onto a neighbouring line. This makes the per-tap validity mask
+(``tap_ok``) unnecessary inside the Pallas kernel — an out-of-grid target
+simply never matches any real row's key — which keeps the kernel to plain
+int32 compare + MXU dot ops (the masking variants do not Mosaic-compile;
+see ops/pallas/window_kernel.py).
 """
 from __future__ import annotations
 
@@ -39,15 +46,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MISS = 2 ** 30  # sentinel linear key for padded rows (never matches)
+MISS = 2 ** 30   # sentinel linear key for padded rows (never matches)
+GATE = -(2 ** 29)  # kernel base sentinel: dy group handled by the residual
+                   # pass; |wl - GATE| < 2**31 so the int32 diff never
+                   # overflows and never equals a small tap offset
+
+
+def key_dims(grid: Sequence[int]) -> Tuple[int, int, int]:
+    """Guard-banded key-space dims (D, H, W) = grid dims + 2."""
+    d, h, w = grid
+    return d + 2, h + 2, w + 2
 
 
 def yxz_lin(coords: jnp.ndarray, grid: Sequence[int]) -> jnp.ndarray:
-    """(…, 3) zyx coords -> (y*W + x)*D + z linear key; invalid -> MISS."""
+    """(…, 3) zyx coords -> guard-banded (y, x, z)-major key; invalid -> MISS.
+
+    Key = ((y+1)*W + (x+1))*D + (z+1) over (D, H, W) = grid + 2 so in-grid
+    coords occupy 1..dim and the 0 / dim+1 cells are empty guard bands.
+    """
     d, h, w = grid
+    kd, kh, kw = key_dims(grid)
     z, y, x = coords[..., 0], coords[..., 1], coords[..., 2]
     ok = (z >= 0) & (z < d) & (y >= 0) & (y < h) & (x >= 0) & (x < w)
-    return jnp.where(ok, (y * w + x) * d + z, MISS)
+    return jnp.where(ok, ((y + 1) * kw + (x + 1)) * kd + (z + 1), MISS)
 
 
 def sort_rows(features: jnp.ndarray, coords: jnp.ndarray, grid: Sequence[int]):
@@ -61,11 +82,12 @@ def sort_rows(features: jnp.ndarray, coords: jnp.ndarray, grid: Sequence[int]):
 
 
 def build_rank_table(lin: jnp.ndarray, grid: Sequence[int]) -> jnp.ndarray:
-    """T[col] = rank of the first row with column >= col (exclusive prefix
-    count over BEV columns); shape (H*W + 1,). Requires lin sorted."""
-    d, h, w = grid
-    col = jnp.where(lin < MISS, lin // d, h * w)
-    counts = jnp.zeros((h * w + 1,), jnp.int32).at[col].add(1, mode="drop")
+    """T[col] = rank of the first row with key-space column >= col (exclusive
+    prefix count over guard-banded BEV columns); shape (kH*kW + 1,). Requires
+    lin sorted."""
+    kd, kh, kw = key_dims(grid)
+    col = jnp.where(lin < MISS, lin // kd, kh * kw)
+    counts = jnp.zeros((kh * kw + 1,), jnp.int32).at[col].add(1, mode="drop")
     return jnp.concatenate([jnp.zeros((1,), jnp.int32),
                             jnp.cumsum(counts[:-1], dtype=jnp.int32)])
 
@@ -84,6 +106,8 @@ class ConvPlan(NamedTuple):
     n_resid: jnp.ndarray    # () int32: true residual count (may exceed R!)
     offsets: jnp.ndarray    # (3, 9) per-dy lin offsets (dx, dz taps)
     win_sentinel: jnp.ndarray  # (window, block) zeros; static size carrier
+    kbase: jnp.ndarray      # (nb*block, 3) per-dy kernel target key: base
+                            # where the dy group is windowed, GATE otherwise
 
     def window_size(self) -> int:
         return self.win_sentinel.shape[-2]
@@ -127,11 +151,14 @@ def make_strided_plan(in_lin, out_lin, out_coords, grid_in, grid_out,
 def _plan(in_lin, out_lin, out_coords, grid_in, grid_out,
           stride, padding, ksize, block, window, resid_budget):
     d, h, w = grid_in
+    kd, kh, kw = key_dims(grid_in)
     sz, sy, sx = stride
     pz, py, px = padding
     kz, ky, kx = ksize
     cz, cy, cx = (kz - 1) // 2, (ky - 1) // 2, (kx - 1) // 2
     window = min(window, in_lin.shape[0])  # static; tiny stages
+    if window >= 128:
+        window = (window // 128) * 128  # keep the Pallas 128-rank layout
     vo = out_lin.shape[0]
     nb = -(-vo // block)
     pad_vo = nb * block
@@ -143,17 +170,19 @@ def _plan(in_lin, out_lin, out_coords, grid_in, grid_out,
     ox = out_coords[..., 2] * sx - px + cx
     valid_out = jnp.all(out_coords >= 0, axis=-1)
 
-    # per-row, per-dy target key of the (dy, dx=0, dz=0) tap
+    # per-row, per-dy target key of the (dy, dx=0, dz=0) tap, in the
+    # guard-banded key space (so off-grid targets land in empty guard cells)
     base = jnp.stack(
-        [((oy + dy) * w + ox) * d + oz for dy in (-1, 0, 1)], axis=-1
+        [((oy + 1 + dy) * kw + (ox + 1)) * kd + (oz + 1) for dy in (-1, 0, 1)],
+        axis=-1,
     ).astype(jnp.int32)
     base = jnp.where(valid_out[:, None], base, MISS)
 
-    # static per-dy tap offsets in input lin space, grouped by dy: tap index
+    # static per-dy tap offsets in key space, grouped by dy: tap index
     # k = ((dy+1)*3 + (dx+1))*3 + (dz+1); taps outside the kernel extent
     # (size-1 axes) are statically dead via ``live``
     offsets = np.array(
-        [[(dx * d + dz) for dx in (-1, 0, 1) for dz in (-1, 0, 1)]
+        [[(dx * kd + dz) for dx in (-1, 0, 1) for dz in (-1, 0, 1)]
          for dy in (-1, 0, 1)], np.int32,
     )
     live = np.array(
@@ -172,22 +201,30 @@ def _plan(in_lin, out_lin, out_coords, grid_in, grid_out,
         taps.append(ok)
     tap_ok = jnp.stack(taps, axis=-1)
 
-    # block windows from the column-rank table
+    # block windows from the column-rank table (key-space columns)
     T = build_rank_table(in_lin, grid_in)
     v_in = in_lin.shape[0]
-    base_cols = jnp.clip(base // d, 0, h * w)  # (Vo, 3)
-    bc = jnp.pad(base_cols, ((0, pad_vo - vo), (0, 0)), constant_values=h * w)
+    n_cols = kh * kw
+    base_cols = jnp.clip(base // kd, 0, n_cols)  # (Vo, 3)
+    bc = jnp.pad(base_cols, ((0, pad_vo - vo), (0, 0)), constant_values=n_cols)
     bc_blk = bc.reshape(nb, block, 3)
-    lo_rank = T[jnp.clip(bc_blk - 1, 0, h * w)]        # first rank we may need
-    hi_rank = T[jnp.clip(bc_blk + 2, 0, h * w)]        # one past the last
-    blk_lo = jnp.min(jnp.where(bc_blk < h * w, lo_rank, v_in), axis=1)
+    lo_rank = T[jnp.clip(bc_blk - 1, 0, n_cols)]       # first rank we may need
+    hi_rank = T[jnp.clip(bc_blk + 2, 0, n_cols)]       # one past the last
+    blk_lo = jnp.min(jnp.where(bc_blk < n_cols, lo_rank, v_in), axis=1)
     ws = jnp.clip(blk_lo, 0, jnp.maximum(v_in - window, 0)).astype(jnp.int32)
+    # Alignment: the Pallas kernel reads packed 128-lane key rows and bf16
+    # feature slices, so 128-divisible windows use 128-rank-aligned starts
+    # (16 otherwise, for the bf16 sublane rule). Rounding DOWN only widens
+    # the slack below the target rows, and the `inside` check right below
+    # uses this final ws, so coverage accounting stays exact.
+    granule = 128 if window % 128 == 0 else 16
+    ws = (ws // granule) * granule
 
     # a row's dy group is certainly covered iff its full needed rank interval
     # fits the block window
     row_lo, row_hi = lo_rank, hi_rank  # (nb, block, 3)
     inside = (row_lo >= ws[:, None, :]) & (row_hi <= ws[:, None, :] + window)
-    has_need = bc_blk < h * w
+    has_need = bc_blk < n_cols
     windowed = (inside | ~has_need).reshape(pad_vo, 3)[:vo]
 
     # ---- residual rows: any dy group not certainly covered
@@ -202,7 +239,7 @@ def _plan(in_lin, out_lin, out_coords, grid_in, grid_out,
         jnp.arange(resid_budget) < n_resid, order, -1).astype(jnp.int32)
 
     # exact neighbor ranks for the residual rows via a dense rank grid
-    size = d * h * w
+    size = kd * kh * kw
     safe_lin = jnp.where(in_lin < MISS, in_lin, size)
     rank_grid = jnp.full((size + 1,), -1, jnp.int32).at[safe_lin].set(
         jnp.arange(v_in, dtype=jnp.int32), mode="drop")
@@ -214,9 +251,18 @@ def _plan(in_lin, out_lin, out_coords, grid_in, grid_out,
     tgt_safe = jnp.where(tgt_ok & (tgt >= 0) & (tgt < size), tgt, size)
     resid_nbr = rank_grid[tgt_safe]
 
+    # per-dy kernel target: base where the window pass owns the dy group,
+    # GATE otherwise (incl. padding rows) — the Pallas kernel then needs no
+    # masking at all, only `key == base + offset` compares
+    kbase = jnp.where(
+        jnp.pad(windowed & (base < MISS) & valid_out[:, None],
+                ((0, pad_vo - vo), (0, 0))),
+        jnp.pad(base, ((0, pad_vo - vo), (0, 0)), constant_values=MISS),
+        GATE).astype(jnp.int32)
+
     return ConvPlan(in_lin, out_lin, base, tap_ok, ws, windowed, resid_rows,
                     resid_nbr, n_resid, jnp.asarray(offsets),
-                    jnp.zeros((window, block), jnp.int8))
+                    jnp.zeros((window, block), jnp.int8), kbase)
 
 
 def _dy_tap_slice(k):
@@ -225,14 +271,17 @@ def _dy_tap_slice(k):
 
 
 def window_conv(features: jnp.ndarray, plan: ConvPlan, weights: jnp.ndarray,
-                bias=None, impl: str = "auto") -> jnp.ndarray:
+                bias=None, impl: str = "auto",
+                ksize: Tuple[int, int, int] = (3, 3, 3)) -> jnp.ndarray:
     """Windowed pass (Pallas kernel on TPU, XLA reference elsewhere) +
     residual pass + bias + validity mask.
 
     features: (V_in, Cin) sorted; weights (27, Cin, Cout) with tap order
     (dy, dx, dz) nested (use ``taps_zyx_to_dyx`` to convert from the gather
-    engine's z-major order). Returns (V_out, Cout). impl: "auto" | "pallas" |
-    "reference" (overridable via S2D_WINDOW_IMPL for debugging).
+    engine's z-major order). ksize statically prunes dead taps in the Pallas
+    kernel (the dense-27 weights carry zeros there either way). Returns
+    (V_out, Cout). impl: "auto" | "pallas" | "reference" (overridable via
+    S2D_WINDOW_IMPL for debugging).
     """
     import os
 
@@ -243,7 +292,10 @@ def window_conv(features: jnp.ndarray, plan: ConvPlan, weights: jnp.ndarray,
     if impl == "pallas":
         from .pallas.window_kernel import window_pass_pallas
 
-        out = window_pass_pallas(features, plan, weights)
+        cd = jnp.bfloat16 if os.environ.get(
+            "S2D_WINDOW_DTYPE", "bf16") == "bf16" else jnp.float32
+        out = window_pass_pallas(features, plan, weights, ksize=ksize,
+                                 compute_dtype=cd)
     else:
         out = _window_pass_reference(features, plan, weights)
     out = out.astype(features.dtype) + residual_conv(features, plan, weights)
@@ -349,7 +401,8 @@ def downsample_active_set_yxz(coords, valid, grid_in, grid_out, stride,
     k = coords[:, None, :] + p[None, None, :] - o * s[None, None, :]
     ok = valid[:, None] & jnp.all((k >= 0) & (k < ks[None, None, :]), axis=-1)
     lin = yxz_lin(o, grid_out)
-    size_out = int(np.prod(grid_out))
+    kd, kh, kw = key_dims(grid_out)
+    size_out = kd * kh * kw
     flat = jnp.where(ok & (lin < MISS), lin, size_out).reshape(-1)
     sorted_lin = jnp.sort(flat)
     is_first = jnp.concatenate(
@@ -360,11 +413,10 @@ def downsample_active_set_yxz(coords, valid, grid_in, grid_out, stride,
     out_lin = jnp.full((out_budget + 1,), -1, jnp.int32).at[slot].max(
         sorted_lin.astype(jnp.int32), mode="drop")[:out_budget]
     out_valid = out_lin >= 0
-    d, h, w = grid_out
     safe = jnp.maximum(out_lin, 0)
-    oz = safe % d
-    ox = (safe // d) % w
-    oy = safe // (d * w)
+    oz = safe % kd - 1
+    ox = (safe // kd) % kw - 1
+    oy = safe // (kd * kw) - 1
     out_coords = jnp.where(out_valid[:, None],
                            jnp.stack([oz, oy, ox], -1).astype(jnp.int32), -1)
     out_lin = jnp.where(out_valid, out_lin, MISS)
