@@ -514,6 +514,7 @@ class SpMiddleResNetFHD(nn.Module):
     stage_budgets: Optional[Tuple[int, int, int, int]] = None
     dense_from_stage: int = 2
     engine: str = "gather"  # "gather" (row GEMM) or "column" (z-dense slabs)
+    win_window: int = 384   # rank-window size of the 'window' engine
     norm_cfg: Optional[dict] = None
     name_tag: str = "SpMiddleResNetFHD"
     is_student: bool = False
@@ -629,7 +630,7 @@ class SpMiddleResNetFHD(nn.Module):
             lambda f, c: WC.sort_rows(f, c, grid))(feats, coords)
         valid = lin < WC.MISS
 
-        def subm_plan(lin, coords, grid, window=512):
+        def subm_plan(lin, coords, grid, window=self.win_window):
             return jax.vmap(
                 lambda l, c: WC.make_subm_plan_presorted(l, c, grid,
                                                          window=window)
@@ -643,6 +644,8 @@ class SpMiddleResNetFHD(nn.Module):
         feats = WinBasicBlock(16, axis_name=an, name="conv1_1")(
             feats, valid, plan, train)
         multi_scale = {"conv1": (SparseTensor(feats, coords, valid), grid)}
+        if self.stop_after == "conv1":
+            return None, multi_scale
 
         stages = [
             ("conv2", 32, (2, 2, 2), (1, 1, 1), (3, 3, 3)),
@@ -652,7 +655,7 @@ class SpMiddleResNetFHD(nn.Module):
         for k, (name, ch, stride, pad, ksz) in enumerate(stages, start=1):
             feats, coords, lin, valid, grid = WinDownsample(
                 ch, grid, stride, pad, ksize=ksz, out_budget=budgets[k - 1],
-                axis_name=an, name=f"{name}_down",
+                window=self.win_window, axis_name=an, name=f"{name}_down",
             )(feats, coords, lin, train)
             plan = subm_plan(lin, coords, grid)
             feats = WinBasicBlock(ch, axis_name=an, name=f"{name}_0")(
@@ -660,10 +663,13 @@ class SpMiddleResNetFHD(nn.Module):
             feats = WinBasicBlock(ch, axis_name=an, name=f"{name}_1")(
                 feats, valid, plan, train)
             multi_scale[name] = (SparseTensor(feats, coords, valid), grid)
+            if self.stop_after == name:
+                return None, multi_scale
 
         feats, coords, lin, valid, g4 = WinDownsample(
             128, grid, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1),
-            out_budget=budgets[3], axis_name=an, name="extra_conv",
+            out_budget=budgets[3], window=self.win_window,
+            axis_name=an, name="extra_conv",
         )(feats, coords, lin, train)
         bev = sparse_to_bev(SparseTensor(feats, coords, valid), g4)
         return bev, multi_scale
@@ -756,6 +762,7 @@ class SpMiddleFHD(nn.Module):
     stage_budgets: Optional[Tuple[int, int, int, int]] = None
     dense_from_stage: int = 2
     engine: str = "gather"
+    win_window: int = 384   # rank-window size of the 'window' engine
     norm_cfg: Optional[dict] = None
     name_tag: str = "SpMiddleFHD"
     axis_name: Optional[str] = None
@@ -841,7 +848,8 @@ class SpMiddleFHD(nn.Module):
 
         def subm_plan(lin, coords, grid):
             return jax.vmap(
-                lambda l, c: WC.make_subm_plan_presorted(l, c, grid)
+                lambda l, c: WC.make_subm_plan_presorted(
+                    l, c, grid, window=self.win_window)
             )(lin, coords)
 
         plan = subm_plan(lin, coords, grid)
@@ -857,7 +865,8 @@ class SpMiddleFHD(nn.Module):
         for k, (name, down, chans, stride, pad, ksz) in enumerate(stages, 1):
             feats, coords, lin, valid, grid = WinDownsample(
                 chans[0], grid, stride, pad, ksize=ksz,
-                out_budget=budgets[k - 1], axis_name=an, name=down,
+                out_budget=budgets[k - 1], window=self.win_window,
+                axis_name=an, name=down,
             )(feats, coords, lin, train)
             plan = subm_plan(lin, coords, grid)
             feats = WinSubMStage(chans, axis_name=an, name=name)(
@@ -866,7 +875,8 @@ class SpMiddleFHD(nn.Module):
 
         feats, coords, lin, valid, g4 = WinDownsample(
             64, grid, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1),
-            out_budget=budgets[3], axis_name=an, name="extra_conv",
+            out_budget=budgets[3], window=self.win_window,
+            axis_name=an, name="extra_conv",
         )(feats, coords, lin, train)
         bev = sparse_to_bev(SparseTensor(feats, coords, valid), g4)
         return bev, conv4

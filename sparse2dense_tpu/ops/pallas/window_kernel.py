@@ -150,6 +150,10 @@ def window_pass_pallas(features, plan, weights, *, ksize=(3, 3, 3),
         out_specs=pl.BlockSpec((BLK, cout), lambda i: (i, 0)),
         scratch_shapes=[pltpu.VMEM((BLK, window), jnp.int32),
                         pltpu.VMEM((window, cin), compute_dtype)],
+        # the resident key/feature operands overflow the default 16 MB
+        # scoped-vmem stack at the bigger stages
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
