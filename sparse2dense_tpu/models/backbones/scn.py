@@ -61,11 +61,49 @@ def sparse_to_bev(x: SparseTensor, grid: Sequence[int]) -> jnp.ndarray:
     return jnp.transpose(dense, (0, 2, 3, 4, 1)).reshape(b, h, w, c * d)
 
 
-def dense_subm_conv(x, mask, w, b=None):
+def _conv3d_zdecomp(x, wk, stride, pad, compute_dtype=None):
+    """3D conv as kz stacked 2D convs with z folded into the batch dim.
+
+    XLA's native NDHWC 3D conv lowers pathologically on TPU (~8x off the
+    MXU roofline at the shapes here — measured +333 ms for one dense conv2
+    stage); the z-decomposition hits the well-tuned NHWC 2D conv path.
+    x (B, D, H, W, C); wk (kz, ky, kx, Cin, Cout); pad = ((pz, pz2), ...).
+    Accumulation stays f32; compute_dtype (e.g. bf16) casts conv inputs.
+    """
+    bsz, d, hh, ww, cin = x.shape
+    kz = wk.shape[0]
+    sz, sy, sx = stride
+    (pz, pz2), pyx = pad[0], [pad[1], pad[2]]
+    d_out = (d + pz + pz2 - kz) // sz + 1
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        wk = wk.astype(compute_dtype)
+    xp = jnp.pad(x, ((0, 0), (pz, pz2), (0, 0), (0, 0), (0, 0)))
+    # the kz partial sums accumulate in the compute dtype (each 2D conv
+    # already accumulates f32 internally); keeping them f32 doubles the
+    # GB-scale activation buffers of the big dense stages
+    acc_dtype = x.dtype if compute_dtype is None else compute_dtype
+    y = None
+    for iz in range(kz):
+        planes = jax.lax.slice_in_dim(xp, iz, iz + (d_out - 1) * sz + 1, sz,
+                                      axis=1)
+        yz = jax.lax.conv_general_dilated(
+            planes.reshape((bsz * d_out,) + planes.shape[2:]),
+            wk[iz], (sy, sx), pyx,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(acc_dtype)
+        y = yz if y is None else y + yz
+    return y.reshape((bsz, d_out) + y.shape[1:])
+
+
+def dense_subm_conv(x, mask, w, b=None, compute_dtype=None):
     """Submanifold conv on a DENSE (B, D, H, W, C) grid: a plain 3D conv whose
     output is masked back to the active set. Exactly equals the gather-GEMM
     path (inactive inputs are zero; outputs exist only at active sites).
-    w: (K, Cin, Cout) with z-major tap order -> (kz, ky, kx, Cin, Cout)."""
+    w: (K, Cin, Cout) with z-major tap order -> (kz, ky, kx, Cin, Cout).
+    ``compute_dtype`` (e.g. bf16) casts conv inputs; accumulation stays f32.
+    """
     k = w.shape[0]
     if k == 27:
         kshape = (3, 3, 3)
@@ -75,27 +113,22 @@ def dense_subm_conv(x, mask, w, b=None):
         kshape = (1, 1, k)
     wk = w.reshape(kshape + w.shape[1:])
     pad = [(s // 2, s // 2) for s in kshape]
-    y = jax.lax.conv_general_dilated(
-        x, wk, (1, 1, 1), pad,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    y = _conv3d_zdecomp(x, wk, (1, 1, 1), pad,
+                        compute_dtype=compute_dtype).astype(x.dtype)
     if b is not None:
         y = y + b
     return y * mask
 
 
-def dense_strided_conv(x, mask, w, stride, padding, kshape):
+def dense_strided_conv(x, mask, w, stride, padding, kshape,
+                       compute_dtype=None):
     """Strided sparse conv on a dense grid: dense conv + the dilated
     occupancy mask (the active output set IS the kernel-footprint dilation
     of the input occupancy — same set as downsample_active_set)."""
     wk = w.reshape(tuple(kshape) + w.shape[1:])
     pad = [(p, p) for p in padding]
-    y = jax.lax.conv_general_dilated(
-        x, wk, tuple(stride), pad,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    y = _conv3d_zdecomp(x, wk, tuple(stride), pad,
+                        compute_dtype=compute_dtype).astype(x.dtype)
     new_mask = jax.lax.reduce_window(
         mask, -jnp.inf, jax.lax.max,
         (1,) + tuple(kshape) + (1,), (1,) + tuple(stride) + (1,),
@@ -111,9 +144,11 @@ class DenseSubMStage(nn.Module):
     channels: Sequence[int]
     use_bias: bool = False
     axis_name: Optional[str] = None
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16"; f32 accumulate
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
+        cd = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         for i, ch in enumerate(self.channels):
             w = self.param(
                 f"conv_{i}_kernel",
@@ -122,7 +157,7 @@ class DenseSubMStage(nn.Module):
             )
             b = (self.param(f"conv_{i}_bias", nn.initializers.zeros, (ch,))
                  if self.use_bias else None)
-            x = dense_subm_conv(x, mask, w, b)
+            x = dense_subm_conv(x, mask, w, b, compute_dtype=cd)
             x = BatchNorm(axis_name=self.axis_name, name=f"norm_{i}")(
                 x, mask=mask, use_running_average=not train
             )
@@ -136,19 +171,21 @@ class DenseBasicBlock(nn.Module):
 
     planes: int
     axis_name: Optional[str] = None
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
+        cd = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         init = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
         w1 = self.param("conv1_kernel", init, (27, x.shape[-1], self.planes))
         b1 = self.param("conv1_bias", nn.initializers.zeros, (self.planes,))
         w2 = self.param("conv2_kernel", init, (27, self.planes, self.planes))
         b2 = self.param("conv2_bias", nn.initializers.zeros, (self.planes,))
-        out = dense_subm_conv(x, mask, w1, b1)
+        out = dense_subm_conv(x, mask, w1, b1, compute_dtype=cd)
         out = BatchNorm(axis_name=self.axis_name, name="bn1")(
             out, mask=mask, use_running_average=not train)
         out = nn.relu(out) * mask
-        out = dense_subm_conv(out, mask, w2, b2)
+        out = dense_subm_conv(out, mask, w2, b2, compute_dtype=cd)
         out = BatchNorm(axis_name=self.axis_name, name="bn2")(
             out, mask=mask, use_running_average=not train)
         return nn.relu(out + x) * mask
@@ -163,16 +200,19 @@ class DenseDownsample(nn.Module):
     padding: Tuple[int, int, int]
     ksize: Tuple[int, int, int] = (3, 3, 3)
     axis_name: Optional[str] = None
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
+        cd = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         w = self.param(
             "conv_kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
             (int(np.prod(self.ksize)), x.shape[-1], self.out_channels),
         )
         y, new_mask = dense_strided_conv(
-            x, mask, w, self.stride, self.padding, self.ksize)
+            x, mask, w, self.stride, self.padding, self.ksize,
+            compute_dtype=cd)
         y = BatchNorm(axis_name=self.axis_name, name="norm")(
             y, mask=new_mask, use_running_average=not train)
         return nn.relu(y) * new_mask, new_mask
@@ -511,10 +551,15 @@ class SpMiddleResNetFHD(nn.Module):
 
     num_input_features: int = 128
     sparse_shape: Tuple[int, int, int] = (41, 1504, 1504)  # (D, H, W)
+    # active-row budgets for the DOWNSAMPLE OUTPUTS, i.e. the row counts of
+    # (conv2, conv3, conv4, extra); the conv1 stage runs at the input V
     stage_budgets: Optional[Tuple[int, int, int, int]] = None
     dense_from_stage: int = 2
     engine: str = "gather"  # "gather" (row GEMM) or "column" (z-dense slabs)
     win_window: int = 384   # rank-window size of the 'window' engine
+    # conv compute dtype of the dense stages ("bfloat16" halves MXU time;
+    # accumulation stays f32); None keeps full f32
+    dense_compute_dtype: Optional[str] = None
     norm_cfg: Optional[dict] = None
     name_tag: str = "SpMiddleResNetFHD"
     is_student: bool = False
@@ -549,11 +594,11 @@ class SpMiddleResNetFHD(nn.Module):
 
         if dfs <= 0:
             dense_x, dense_mask = densify(x, grid)
-            dense_x = DenseSubMStage((16,), axis_name=an, name="conv_input")(
+            dense_x = DenseSubMStage((16,), compute_dtype=self.dense_compute_dtype, axis_name=an, name="conv_input")(
                 dense_x, dense_mask, train)
-            dense_x = DenseBasicBlock(16, axis_name=an, name="conv1_0")(
+            dense_x = DenseBasicBlock(16, compute_dtype=self.dense_compute_dtype, axis_name=an, name="conv1_0")(
                 dense_x, dense_mask, train)
-            dense_x = DenseBasicBlock(16, axis_name=an, name="conv1_1")(
+            dense_x = DenseBasicBlock(16, compute_dtype=self.dense_compute_dtype, axis_name=an, name="conv1_1")(
                 dense_x, dense_mask, train)
             multi_scale["conv1"] = (dense_x, grid)
         else:
@@ -577,7 +622,7 @@ class SpMiddleResNetFHD(nn.Module):
                     dense_x, dense_mask = densify(x, grid)
             else:
                 dense_x, dense_mask = DenseDownsample(
-                    ch, stride, pad, ksize=ksz, axis_name=an, name=f"{name}_down",
+                    ch, stride, pad, ksize=ksz, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_down",
                 )(dense_x, dense_mask, train)
                 grid = conv_out_grid(grid, stride, pad, ksz)
             if dense_x is None:
@@ -587,9 +632,9 @@ class SpMiddleResNetFHD(nn.Module):
                 x = SparseBasicBlock(ch, axis_name=an, name=f"{name}_1")(x, nbr, train)
                 multi_scale[name] = (x, grid)
             else:
-                dense_x = DenseBasicBlock(ch, axis_name=an, name=f"{name}_0")(
+                dense_x = DenseBasicBlock(ch, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_0")(
                     dense_x, dense_mask, train)
-                dense_x = DenseBasicBlock(ch, axis_name=an, name=f"{name}_1")(
+                dense_x = DenseBasicBlock(ch, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_1")(
                     dense_x, dense_mask, train)
                 multi_scale[name] = (dense_x, grid)
             if self.stop_after == name:
@@ -606,16 +651,31 @@ class SpMiddleResNetFHD(nn.Module):
             if dense_x is None:
                 dense_x, dense_mask = densify(x, grid)
             dense_x, dense_mask = DenseDownsample(
-                128, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1), axis_name=an,
-                name="extra_conv",
+                128, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1), compute_dtype=self.dense_compute_dtype,
+                axis_name=an, name="extra_conv",
             )(dense_x, dense_mask, train)
             bev = dense_to_bev(dense_x)
         return bev, multi_scale
 
+    def _dense_stream(self, st, grid):
+        """Densify with the dense-stage storage dtype: bf16 when
+        dense_compute_dtype is set (halves the 0.7-1.5 GB per-stage
+        activation footprint; BN still computes statistics in f32). The
+        sparse features are cast BEFORE the scatter so the f32 dense
+        intermediate never materializes."""
+        if self.dense_compute_dtype:
+            cd = jnp.dtype(self.dense_compute_dtype)
+            st = SparseTensor(st.features.astype(cd), st.coords, st.valid)
+        return densify(st, grid)
+
     def _window_forward(self, voxel_features, coords, train: bool):
-        """Window-engine forward: every stage sparse via windowed one-hot
-        convs (ops/window_conv.py), the TPU-shaped replacement for spconv
-        rulebooks. Parameter tree identical to the gather engine."""
+        """Window-engine forward: sparse stages via windowed one-hot convs
+        (ops/window_conv.py), the TPU-shaped replacement for spconv
+        rulebooks; like the gather engine, stages >= ``dense_from_stage``
+        switch to masked dense convs (at the dilated later-stage occupancies
+        — 10-40% of the grid — the MXU-dense formulation is faster than any
+        sparse one and needs no active-set computation). Parameter tree
+        identical to the gather engine."""
         from ...ops import window_conv as WC
 
         an = self.axis_name
@@ -625,6 +685,7 @@ class SpMiddleResNetFHD(nn.Module):
         v = feats.shape[1]
         budgets = self.stage_budgets or (v, v, v, v)
         grid = self.sparse_shape
+        dfs = self.dense_from_stage if self.dense_from_stage is not None else 99
 
         feats, coords, lin = jax.vmap(
             lambda f, c: WC.sort_rows(f, c, grid))(feats, coords)
@@ -636,14 +697,26 @@ class SpMiddleResNetFHD(nn.Module):
                                                          window=window)
             )(lin, coords)
 
-        plan = subm_plan(lin, coords, grid)
-        feats = WinSubMStage((16,), axis_name=an, name="conv_input")(
-            feats, valid, plan, train)
-        feats = WinBasicBlock(16, axis_name=an, name="conv1_0")(
-            feats, valid, plan, train)
-        feats = WinBasicBlock(16, axis_name=an, name="conv1_1")(
-            feats, valid, plan, train)
-        multi_scale = {"conv1": (SparseTensor(feats, coords, valid), grid)}
+        dense_x = dense_mask = None
+        if dfs <= 0:
+            dense_x, dense_mask = self._dense_stream(
+                SparseTensor(feats, coords, valid), grid)
+            dense_x = DenseSubMStage((16,), compute_dtype=self.dense_compute_dtype, axis_name=an, name="conv_input")(
+                dense_x, dense_mask, train)
+            dense_x = DenseBasicBlock(16, compute_dtype=self.dense_compute_dtype, axis_name=an, name="conv1_0")(
+                dense_x, dense_mask, train)
+            dense_x = DenseBasicBlock(16, compute_dtype=self.dense_compute_dtype, axis_name=an, name="conv1_1")(
+                dense_x, dense_mask, train)
+            multi_scale = {"conv1": (dense_x, grid)}
+        else:
+            plan = subm_plan(lin, coords, grid)
+            feats = WinSubMStage((16,), axis_name=an, name="conv_input")(
+                feats, valid, plan, train)
+            feats = WinBasicBlock(16, axis_name=an, name="conv1_0")(
+                feats, valid, plan, train)
+            feats = WinBasicBlock(16, axis_name=an, name="conv1_1")(
+                feats, valid, plan, train)
+            multi_scale = {"conv1": (SparseTensor(feats, coords, valid), grid)}
         if self.stop_after == "conv1":
             return None, multi_scale
 
@@ -653,25 +726,53 @@ class SpMiddleResNetFHD(nn.Module):
             ("conv4", 128, (2, 2, 2), (0, 1, 1), (3, 3, 3)),
         ]
         for k, (name, ch, stride, pad, ksz) in enumerate(stages, start=1):
-            feats, coords, lin, valid, grid = WinDownsample(
-                ch, grid, stride, pad, ksize=ksz, out_budget=budgets[k - 1],
-                window=self.win_window, axis_name=an, name=f"{name}_down",
-            )(feats, coords, lin, train)
-            plan = subm_plan(lin, coords, grid)
-            feats = WinBasicBlock(ch, axis_name=an, name=f"{name}_0")(
-                feats, valid, plan, train)
-            feats = WinBasicBlock(ch, axis_name=an, name=f"{name}_1")(
-                feats, valid, plan, train)
-            multi_scale[name] = (SparseTensor(feats, coords, valid), grid)
+            if k <= dfs and dense_x is None:
+                feats, coords, lin, valid, grid = WinDownsample(
+                    ch, grid, stride, pad, ksize=ksz,
+                    out_budget=budgets[k - 1], window=self.win_window,
+                    axis_name=an, name=f"{name}_down",
+                )(feats, coords, lin, train)
+                if k == dfs:  # densify the coarser output grid
+                    dense_x, dense_mask = self._dense_stream(
+                        SparseTensor(feats, coords, valid), grid)
+            else:
+                dense_x, dense_mask = DenseDownsample(
+                    ch, stride, pad, ksize=ksz, compute_dtype=self.dense_compute_dtype, axis_name=an,
+                    name=f"{name}_down",
+                )(dense_x, dense_mask, train)
+                grid = conv_out_grid(grid, stride, pad, ksz)
+            if dense_x is None:
+                plan = subm_plan(lin, coords, grid)
+                feats = WinBasicBlock(ch, axis_name=an, name=f"{name}_0")(
+                    feats, valid, plan, train)
+                feats = WinBasicBlock(ch, axis_name=an, name=f"{name}_1")(
+                    feats, valid, plan, train)
+                multi_scale[name] = (SparseTensor(feats, coords, valid), grid)
+            else:
+                dense_x = DenseBasicBlock(ch, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_0")(
+                    dense_x, dense_mask, train)
+                dense_x = DenseBasicBlock(ch, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_1")(
+                    dense_x, dense_mask, train)
+                multi_scale[name] = (dense_x, grid)
             if self.stop_after == name:
                 return None, multi_scale
 
-        feats, coords, lin, valid, g4 = WinDownsample(
-            128, grid, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1),
-            out_budget=budgets[3], window=self.win_window,
-            axis_name=an, name="extra_conv",
-        )(feats, coords, lin, train)
-        bev = sparse_to_bev(SparseTensor(feats, coords, valid), g4)
+        if 4 < dfs:
+            feats, coords, lin, valid, g4 = WinDownsample(
+                128, grid, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1),
+                out_budget=budgets[3], window=self.win_window,
+                axis_name=an, name="extra_conv",
+            )(feats, coords, lin, train)
+            bev = sparse_to_bev(SparseTensor(feats, coords, valid), g4)
+        else:
+            if dense_x is None:
+                dense_x, dense_mask = self._dense_stream(
+                    SparseTensor(feats, coords, valid), grid)
+            dense_x, dense_mask = DenseDownsample(
+                128, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1), compute_dtype=self.dense_compute_dtype,
+                axis_name=an, name="extra_conv",
+            )(dense_x, dense_mask, train)
+            bev = dense_to_bev(dense_x)
         return bev, multi_scale
 
     def _column_forward(self, voxel_features, coords, train: bool):
@@ -725,7 +826,8 @@ class SpMiddleResNetFHD(nn.Module):
                     nbr = col_neighbor_table(cols, cvalid, tbl, hw)
             else:
                 dense_x, dense_mask = DenseDownsample(
-                    ch, (2, 2, 2), (z_pad, 1, 1), ksize=(3, 3, 3), axis_name=an,
+                    ch, (2, 2, 2), (z_pad, 1, 1), ksize=(3, 3, 3),
+                    compute_dtype=self.dense_compute_dtype, axis_name=an,
                     name=f"{name}_down",
                 )(dense_x, dense_mask, train)
                 grid = conv_out_grid(grid, (2, 2, 2), (z_pad, 1, 1), (3, 3, 3))
@@ -734,17 +836,17 @@ class SpMiddleResNetFHD(nn.Module):
                 cf = ColBasicBlock(ch, axis_name=an, name=f"{name}_1")(cf, zm, nbr, train)
                 multi_scale[name] = (cf, grid)
             else:
-                dense_x = DenseBasicBlock(ch, axis_name=an, name=f"{name}_0")(
+                dense_x = DenseBasicBlock(ch, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_0")(
                     dense_x, dense_mask, train)
-                dense_x = DenseBasicBlock(ch, axis_name=an, name=f"{name}_1")(
+                dense_x = DenseBasicBlock(ch, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_1")(
                     dense_x, dense_mask, train)
                 multi_scale[name] = (dense_x, grid)
 
         if dense_x is None:  # dfs == 4: densify right before the extra conv
             dense_x, dense_mask = columns_to_dense(cf, cols, cvalid, zm, grid)
         dense_x, dense_mask = DenseDownsample(
-            128, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1), axis_name=an,
-            name="extra_conv",
+            128, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1), compute_dtype=self.dense_compute_dtype,
+            axis_name=an, name="extra_conv",
         )(dense_x, dense_mask, train)
         bev = dense_to_bev(dense_x)
         return bev, multi_scale
@@ -763,6 +865,7 @@ class SpMiddleFHD(nn.Module):
     dense_from_stage: int = 2
     engine: str = "gather"
     win_window: int = 384   # rank-window size of the 'window' engine
+    dense_compute_dtype: Optional[str] = None
     norm_cfg: Optional[dict] = None
     name_tag: str = "SpMiddleFHD"
     axis_name: Optional[str] = None
@@ -800,7 +903,7 @@ class SpMiddleFHD(nn.Module):
                         dense_x, dense_mask = densify(x, grid)
                 else:
                     dense_x, dense_mask = DenseDownsample(
-                        chans[0], stride, pad, ksize=ksz, axis_name=an, name=down,
+                        chans[0], stride, pad, ksize=ksz, compute_dtype=self.dense_compute_dtype, axis_name=an, name=down,
                     )(dense_x, dense_mask, train)
                     grid = conv_out_grid(grid, stride, pad, ksz)
             if dense_x is None:
@@ -809,8 +912,9 @@ class SpMiddleFHD(nn.Module):
                 x = SubMStage(chans, axis_name=an, name=name)(x, nbr, train)
                 conv4 = (x, grid)
             else:
-                dense_x = DenseSubMStage(chans, axis_name=an, name=name)(
-                    dense_x, dense_mask, train)
+                dense_x = DenseSubMStage(
+                    chans, compute_dtype=self.dense_compute_dtype,
+                    axis_name=an, name=name)(dense_x, dense_mask, train)
                 conv4 = (dense_x, grid)
 
         if 4 < dfs:
@@ -823,8 +927,8 @@ class SpMiddleFHD(nn.Module):
             if dense_x is None:
                 dense_x, dense_mask = densify(x, grid)
             dense_x, dense_mask = DenseDownsample(
-                64, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1), axis_name=an,
-                name="extra_conv",
+                64, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1), compute_dtype=self.dense_compute_dtype,
+                axis_name=an, name="extra_conv",
             )(dense_x, dense_mask, train)
             bev = dense_to_bev(dense_x)
         return bev, conv4

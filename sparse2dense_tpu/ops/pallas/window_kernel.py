@@ -48,6 +48,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLK = 128  # output rows per grid step; fixed by the packed-key layout
+# single whole-VMEM operand byte cap of the v5e remote-compile path; the
+# feature operand is channel-split to stay under it (tests shrink this to
+# force splits at toy sizes)
+OPERAND_BYTE_CAP = 2 ** 23
 
 
 def _live_taps(ksize):
@@ -62,14 +66,21 @@ def _live_taps(ksize):
     return dys, js
 
 
-def _dy_kernel(ws_ref, kb_ref, offs_ref, eye_ref, lin_ref, feat_ref, w_ref,
-               out_ref, diff_ref, wf_ref, *, window, n_in, js, compute_dtype):
+def _dy_kernel(ws_ref, kb_ref, offs_ref, eye_ref, lin_ref, *rest, window,
+               n_in, js, compute_dtype, n_split):
+    feat_refs = rest[:n_split]
+    w_refs = rest[n_split:2 * n_split]
+    out_ref = rest[2 * n_split]
+    diff_ref = rest[2 * n_split + 1]
+    wf_refs = rest[2 * n_split + 2:]
     i = pl.program_id(0)
     cout = out_ref.shape[1]
     # ws holds start/128; multiplying back makes the 128-rank (and hence
-    # 16-sublane bf16) alignment of the slices provable
-    s128 = jnp.minimum(ws_ref[i, 0], (n_in - window) // 128)
-    wf_ref[:] = feat_ref[pl.ds(s128 * 128, window), :]
+    # 16-sublane bf16) alignment of the slices provable. 1D SMEM: 2D SMEM
+    # arrays pad every row to 512 B and blow the 1 MB SMEM at nb>2k.
+    s128 = jnp.minimum(ws_ref[i], (n_in - window) // 128)
+    for s in range(n_split):
+        wf_refs[s][:] = feat_refs[s][pl.ds(s128 * 128, window), :]
 
     # target keys for this block arrive packed as the (1, 128) row i of
     # kb_ref; MXU-transpose them to a (BLK, 1) sublane vector via exact
@@ -90,14 +101,15 @@ def _dy_kernel(ws_ref, kb_ref, offs_ref, eye_ref, lin_ref, feat_ref, w_ref,
         diff_ref[:, br * 128:(br + 1) * 128] = lrow - trow
 
     diff = diff_ref[:]
-    wf = wf_ref[:]
     acc = jnp.zeros((BLK, cout), jnp.float32)
     for jx, j in enumerate(js):
         hit = (diff == offs_ref[0, j]).astype(compute_dtype)
-        g = jnp.dot(hit, wf, preferred_element_type=jnp.float32)
-        acc = acc + jnp.dot(g.astype(compute_dtype),
-                            w_ref[jx].astype(compute_dtype),
-                            preferred_element_type=jnp.float32)
+        for s in range(n_split):
+            g = jnp.dot(hit, wf_refs[s][:],
+                        preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(g.astype(compute_dtype),
+                                w_refs[s][jx].astype(compute_dtype),
+                                preferred_element_type=jnp.float32)
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
@@ -133,36 +145,47 @@ def window_pass_pallas(features, plan, weights, *, ksize=(3, 3, 3),
     featc = features.astype(compute_dtype)
     eye = jnp.eye(BLK, dtype=jnp.float32)
 
+    # channel-split the resident features so each whole-VMEM operand stays
+    # under the 2**23-byte cap at the dilated (200-300k row) stages
+    esize = jnp.dtype(compute_dtype).itemsize
+    n_split = 1
+    while (cin % (2 * n_split) == 0 and
+           v_in * (cin // n_split) * esize > OPERAND_BYTE_CAP):
+        n_split *= 2
+    csplit = cin // n_split
+    feat_s = [featc[:, s * csplit:(s + 1) * csplit] for s in range(n_split)]
+
     call = pl.pallas_call(
         partial(_dy_kernel, window=window, n_in=v_in, js=js,
-                compute_dtype=compute_dtype),
+                compute_dtype=compute_dtype, n_split=n_split),
         out_shape=jax.ShapeDtypeStruct((pad_vo, cout), jnp.float32),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # ws/128 dy col (nb, 1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # ws/128 dy col (nb,) 1D
             pl.BlockSpec(memory_space=pltpu.VMEM),   # kbase dy packed (nb,128)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # offsets dy row (1, 9)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # eye (128, 128)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # lin packed (V/128, 128)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # feat (V, Cin)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # weights (|js|, Cin, Cout)
-        ],
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_split),
         out_specs=pl.BlockSpec((BLK, cout), lambda i: (i, 0)),
-        scratch_shapes=[pltpu.VMEM((BLK, window), jnp.int32),
-                        pltpu.VMEM((window, cin), compute_dtype)],
+        scratch_shapes=[pltpu.VMEM((BLK, window), jnp.int32)] +
+                       [pltpu.VMEM((window, csplit), compute_dtype)] * n_split,
         # the resident key/feature operands overflow the default 16 MB
-        # scoped-vmem stack at the bigger stages
+        # scoped-vmem stack at the bigger stages; keep the cap tight enough
+        # that XLA does not try to keep several calls' operands live at once
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )
 
     out = None
     w27 = weights.reshape(3, 9, cin, cout)
     for dyi in dys:
-        part = call(plan.ws[:, dyi:dyi + 1] // 128,
+        wdy = w27[dyi][jnp.asarray(js)]   # (|js|, cin, cout)
+        w_s = [wdy[:, s * csplit:(s + 1) * csplit, :] for s in range(n_split)]
+        part = call(plan.ws[:, dyi] // 128,
                     plan.kbase[:, dyi].reshape(nb, BLK),
                     plan.offsets[dyi:dyi + 1, :],
-                    eye, lin_p, featc, w27[dyi][jnp.asarray(js)])
+                    eye, lin_p, *feat_s, *w_s)
         out = part if out is None else out + part
     return out[:vo]

@@ -77,7 +77,9 @@ def sort_rows(features: jnp.ndarray, coords: jnp.ndarray, grid: Sequence[int]):
     Returns (features, coords, lin) with lin == MISS on padding.
     """
     lin = yxz_lin(coords, grid)
-    order = jnp.argsort(lin)
+    # keys are unique per voxel (dedup'd coords), so an unstable sort is
+    # deterministic here and measurably cheaper than the stable default
+    order = jnp.argsort(lin, stable=False)
     return features[order], coords[order], lin[order]
 
 
@@ -201,16 +203,22 @@ def _plan(in_lin, out_lin, out_coords, grid_in, grid_out,
         taps.append(ok)
     tap_ok = jnp.stack(taps, axis=-1)
 
-    # block windows from the column-rank table (key-space columns)
+    # block windows from the column-rank table (key-space columns). T is
+    # NONDECREASING, so the per-block rank interval needed by a dy group is
+    # [T[min(bc)-1], T[max(bc)+2]) — two scalar gathers per (block, dy)
+    # instead of two per row (the per-row T gathers cost ~19 ms/frame).
     T = build_rank_table(in_lin, grid_in)
     v_in = in_lin.shape[0]
     n_cols = kh * kw
     base_cols = jnp.clip(base // kd, 0, n_cols)  # (Vo, 3)
     bc = jnp.pad(base_cols, ((0, pad_vo - vo), (0, 0)), constant_values=n_cols)
     bc_blk = bc.reshape(nb, block, 3)
-    lo_rank = T[jnp.clip(bc_blk - 1, 0, n_cols)]       # first rank we may need
-    hi_rank = T[jnp.clip(bc_blk + 2, 0, n_cols)]       # one past the last
-    blk_lo = jnp.min(jnp.where(bc_blk < n_cols, lo_rank, v_in), axis=1)
+    has_need = bc_blk < n_cols
+    bc_min = jnp.min(jnp.where(has_need, bc_blk, n_cols), axis=1)  # (nb, 3)
+    bc_max = jnp.max(jnp.where(has_need, bc_blk, 0), axis=1)
+    blk_lo = jnp.where(bc_min < n_cols,
+                       T[jnp.clip(bc_min - 1, 0, n_cols)], v_in)
+    blk_hi = T[jnp.clip(bc_max + 2, 0, n_cols)]        # one past the last
     ws = jnp.clip(blk_lo, 0, jnp.maximum(v_in - window, 0)).astype(jnp.int32)
     # Alignment: the Pallas kernel reads packed 128-lane key rows and bf16
     # feature slices, so 128-divisible windows use 128-rank-aligned starts
@@ -220,29 +228,37 @@ def _plan(in_lin, out_lin, out_coords, grid_in, grid_out,
     granule = 128 if window % 128 == 0 else 16
     ws = (ws // granule) * granule
 
-    # a row's dy group is certainly covered iff its full needed rank interval
-    # fits the block window
-    row_lo, row_hi = lo_rank, hi_rank  # (nb, block, 3)
-    inside = (row_lo >= ws[:, None, :]) & (row_hi <= ws[:, None, :] + window)
-    has_need = bc_blk < n_cols
-    windowed = (inside | ~has_need).reshape(pad_vo, 3)[:vo]
+    # a BLOCK's dy group is covered iff the whole block's needed rank
+    # interval fits its window (block-level, conservative: a block whose
+    # union interval overflows sends all its rows' dy group to the exact
+    # residual pass — with adequate window sizes this is the empty set)
+    inside = (blk_lo >= ws) & (blk_hi <= ws + window)  # (nb, 3)
+    windowed = (inside[:, None, :] | ~has_need).reshape(pad_vo, 3)[:vo]
 
     # ---- residual rows: any dy group not certainly covered
     resid_row_mask = jnp.any(~windowed & valid_out[:, None], axis=-1)
     n_resid = jnp.sum(resid_row_mask.astype(jnp.int32))
-    # compact row ids to a fixed budget (deterministic ascending order)
-    order = jnp.argsort(~resid_row_mask)  # True first, stable
+    # compact row ids to a fixed budget (deterministic ascending order);
+    # top_k of -row_id over the mask is much cheaper than a full argsort
+    neg = jnp.where(resid_row_mask, -jnp.arange(vo, dtype=jnp.int32),
+                    jnp.int32(-(2 ** 30)))
+    kbudget = min(resid_budget, vo)
+    order = (-jax.lax.top_k(neg, kbudget)[0]).astype(jnp.int32)
     order = jnp.concatenate(
-        [order, jnp.zeros((max(resid_budget - vo, 0),), order.dtype)]
-    )[:resid_budget]
+        [order, jnp.zeros((resid_budget - kbudget,), jnp.int32)])
     resid_rows = jnp.where(
         jnp.arange(resid_budget) < n_resid, order, -1).astype(jnp.int32)
 
-    # exact neighbor ranks for the residual rows via a dense rank grid
+    # exact neighbor ranks for the residual rows via a dense rank grid over
+    # the key space. This looks expensive but XLA CSEs the grid across the
+    # subm and strided plans of a stage (same in_lin), and it beats
+    # searchsorted by ~3x here (the scan-method while loop costs ~3.4 ms
+    # per plan at this scale).
     size = kd * kh * kw
     safe_lin = jnp.where(in_lin < MISS, in_lin, size)
-    rank_grid = jnp.full((size + 1,), -1, jnp.int32).at[safe_lin].set(
-        jnp.arange(v_in, dtype=jnp.int32), mode="drop")
+    rank_grid = jnp.full((size + 1,), -1, jnp.int32).at[safe_lin].max(
+        jnp.arange(v_in, dtype=jnp.int32), mode="drop",
+        indices_are_sorted=True)
     rr = jnp.maximum(resid_rows, 0)
     # tap k = dyi*9 + j targets key base[:, dyi] + offsets[dyi, j]
     tgt = (base[rr][:, :, None] + jnp.asarray(offsets)[None, :, :]).reshape(
@@ -404,14 +420,15 @@ def downsample_active_set_yxz(coords, valid, grid_in, grid_out, stride,
     kd, kh, kw = key_dims(grid_out)
     size_out = kd * kh * kw
     flat = jnp.where(ok & (lin < MISS), lin, size_out).reshape(-1)
-    sorted_lin = jnp.sort(flat)
+    sorted_lin = jnp.sort(flat, stable=False)  # values only; no payload
     is_first = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_lin[1:] != sorted_lin[:-1]]
     ) & (sorted_lin < size_out)
     slot = jnp.cumsum(is_first.astype(jnp.int32)) - 1
     slot = jnp.where(is_first, jnp.minimum(slot, out_budget), out_budget)
     out_lin = jnp.full((out_budget + 1,), -1, jnp.int32).at[slot].max(
-        sorted_lin.astype(jnp.int32), mode="drop")[:out_budget]
+        sorted_lin.astype(jnp.int32), mode="drop",
+        indices_are_sorted=True)[:out_budget]
     out_valid = out_lin >= 0
     safe = jnp.maximum(out_lin, 0)
     oz = safe % kd - 1

@@ -72,6 +72,8 @@ def main():
     p.add_argument("--dfs", type=int, default=2)
     p.add_argument("--stages", default="conv1,conv2,conv3,conv4,full")
     p.add_argument("--engine", default="gather")
+    p.add_argument("--dense_dtype", default=None,
+                   help='e.g. "bfloat16" for the dense stages')
     args = p.parse_args()
 
     import jax
@@ -94,6 +96,7 @@ def main():
         stop = None if stage == "full" else stage
         bb = SpMiddleResNetFHD(num_input_features=5, stage_budgets=budgets,
                                dense_from_stage=args.dfs, stop_after=stop,
+                               dense_compute_dtype=args.dense_dtype,
                                engine=args.engine)
         variables = jax.jit(lambda: bb.init(jax.random.PRNGKey(0), featsj,
                                             coordsj, False))()

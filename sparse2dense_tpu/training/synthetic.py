@@ -23,10 +23,50 @@ def pad_to(a: np.ndarray, n: int, fill=0):
 
 def make_points(rng: np.random.RandomState, n_points: int, pc_range,
                 gt_boxes: Optional[np.ndarray] = None, n_feats: int = 5):
+    """LiDAR-like cloud: ground-plane beam rings (contiguous arcs, denser
+    near the sensor), surface clusters with vertical extent, and a small
+    isolated-return fraction. Spatial statistics matter for the
+    sparse-engine benches — a box-uniform cloud has no BEV locality and
+    badly overstates active sets at every scale, while over-thin sheets
+    overstate strided-conv dilation."""
     lo = np.asarray(pc_range[:3])
     hi = np.asarray(pc_range[3:])
-    pts = rng.uniform(lo, hi, size=(n_points, 3)).astype(np.float32)
-    extra = rng.uniform(0, 1, size=(n_points, n_feats - 3)).astype(np.float32)
+    r_max = float(min(hi[0], hi[1])) * 0.98
+    h = -float(lo[2]) * 0.95  # sensor height above the ground plane
+    n_g = int(n_points * 0.55)
+    n_c = int(n_points * 0.40)
+    n_s = n_points - n_g - n_c
+    parts = []
+    # ground rings from 48 downward beams
+    els = np.linspace(np.deg2rad(-18.0), np.deg2rad(-0.5), 48)
+    per = max(n_g // 48, 1)
+    for el in els:
+        r = min(h / np.tan(-el), r_max)
+        az = rng.uniform(-np.pi, np.pi, per)
+        rr = r * (1 + rng.normal(0, 0.02, per))
+        parts.append(np.stack([rr * np.cos(az), rr * np.sin(az),
+                               -h + rng.normal(0, 0.04, per)], 1))
+    # object / wall / vegetation clusters with vertical extent
+    k = 140
+    cth = rng.uniform(-np.pi, np.pi, k)
+    cr = np.sqrt(rng.uniform(0.01, 1, k)) * r_max * 0.95
+    per_c = max(n_c // k, 1)
+    for i in range(k):
+        sx = rng.uniform(0.5, 4.0)
+        sy = rng.uniform(0.5, 4.0)
+        sz = rng.uniform(0.5, 2.2)
+        parts.append(np.stack(
+            [cr[i] * np.cos(cth[i]) + rng.normal(0, sx, per_c),
+             cr[i] * np.sin(cth[i]) + rng.normal(0, sy, per_c),
+             rng.uniform(-h, -h + sz, per_c)], 1))
+    # isolated returns (canopy, noise)
+    th = rng.uniform(-np.pi, np.pi, n_s)
+    r = np.sqrt(rng.uniform(0.01, 1, n_s)) * r_max * 0.95
+    parts.append(np.stack([r * np.cos(th), r * np.sin(th),
+                           rng.uniform(lo[2] * 0.75, hi[2] * 0.95, n_s)], 1))
+    pts = np.concatenate(parts)[:n_points].astype(np.float32)
+    pts = np.clip(pts, lo + 1e-3, hi - 1e-3)
+    extra = rng.uniform(0, 1, size=(len(pts), n_feats - 3)).astype(np.float32)
     pts = np.concatenate([pts, extra], axis=1)
     if gt_boxes is not None:
         # drop a clump of points inside each box so objects are learnable

@@ -34,6 +34,27 @@ def test_window_pass_pallas_matches_reference(rng, block, window):
     np.testing.assert_allclose(got16 / scale, want / scale, atol=0.03)
 
 
+def test_window_pass_pallas_channel_split(rng, monkeypatch):
+    """Shrunk operand cap forces the channel-split path; result unchanged."""
+    from sparse2dense_tpu.ops.pallas import window_kernel as wk
+
+    grid = (8, 24, 24)
+    feats, coords = _clustered_scene(rng, grid, 300)
+    feats, coords = _pad(feats, coords, 384)
+    fj = jnp.asarray(feats)
+    cj = jnp.asarray(coords)
+    valid = jnp.all(cj >= 0, axis=-1)
+    sf, sc, plan = WC.make_subm_plan(fj * valid[:, None], cj, grid,
+                                     block=128, window=128, resid_budget=512)
+    w = jnp.asarray(rng.randn(27, 8, 6).astype(np.float32) * 0.2)
+    want = np.asarray(window_pass_pallas(sf, plan, w, interpret=True,
+                                         compute_dtype=jnp.float32))
+    monkeypatch.setattr(wk, "OPERAND_BYTE_CAP", 384 * 4 * 4)  # -> 4 splits
+    got = np.asarray(window_pass_pallas(sf, plan, w, interpret=True,
+                                        compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_window_pass_pallas_pruned_ksize(rng):
     """(3, 1, 1) downsample kernels run one tap per dy group; the dense-27
     weights carry zeros on dead taps so pruned == full-tap result."""
