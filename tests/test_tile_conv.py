@@ -1,10 +1,12 @@
-"""BEV-tile block-sparse engine vs the gather-GEMM oracle.
+"""Z-chunked BEV-tile block-sparse engine vs the gather-GEMM oracle.
 
 The gather engine is dense-conv-pinned in tests/test_sparse_conv.py, so
 agreement here chains to the dense oracle. Covers subm convs (with halo
-exchange across tiles and z-band realignment), chained convs, strided
-downsamples (incl. dilation whose only path crosses an unoccupied tile),
-the z-only extra conv, gradients, and drop telemetry.
+exchange across tile faces AND z-chunk boundaries), z-packed vs
+z-decomposed formulations, chained convs, strided downsamples in both
+z modes (chunk-halving and single-output-chunk, incl. dilation whose
+only path crosses an unoccupied tile), the z-only extra conv, dense
+round-trips, gradients, and overflow telemetry.
 """
 import numpy as np
 import pytest
@@ -55,51 +57,41 @@ def _oracle_subm(feats, coords, grid, w, bias=None):
     return gather_conv(feats, nbr, w, bias) * valid[:, None]
 
 
-def _to_tiles(feats, coords, grid, ty=4, tx=4, tz=None, budget=64):
-    d = grid[0]
-    tz = tz if tz is not None else d + (d % 2)
+def _to_tiles(feats, coords, grid, ty=4, tx=4, tz=4, budget=160):
     ts, slot = TC.build_tile_set(coords, grid, ty, tx, tz, budget)
     buf = TC.scatter_rows(feats, slot, ts, tz, ty, tx)
     mask = TC.build_mask(slot, ts, tz, ty, tx)
-    return ts, slot, buf, mask, tz
+    return ts, slot, buf, mask
 
 
-@pytest.mark.parametrize("tz,grid,n", [
-    (None, (7, 24, 24), 260),      # full z
-    (4, (9, 24, 24), 300),         # z-band narrower than grid
+@pytest.mark.parametrize("tz,grid,n,zpack", [
+    (8, (7, 24, 24), 260, True),       # single z chunk
+    (4, (9, 24, 24), 300, True),       # 3 z chunks (z-halo faces active)
+    (4, (9, 24, 24), 300, False),      # z-decomposed formulation
+    (2, (9, 24, 24), 300, True),       # 5 thin chunks
 ])
-def test_subm_matches_gather(rng, tz, grid, n):
+def test_subm_matches_gather(rng, tz, grid, n, zpack):
     feats, coords = _scene(rng, grid, n)
     feats, coords = _pad(feats, coords, len(coords) + 13)
     w = jnp.asarray(rng.randn(27, 8, 12).astype(np.float32)) * 0.2
     b = jnp.asarray(rng.randn(12).astype(np.float32))
 
-    ts, slot, buf, mask, tzv = _to_tiles(feats, coords, grid, tz=tz)
-    out_int = TC.tile_subm_conv(buf, mask, w, b)
+    ts, slot, buf, mask = _to_tiles(feats, coords, grid, tz=tz)
+    assert int(ts.n_drop) == 0  # chunked tiles never band-drop
+    out_int = TC.tile_subm_conv(buf, mask, w, b, zpack=zpack)
     out = TC.rows_from_tiles(jnp.pad(
         out_int, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))), slot)
 
-    # the engine's contract: the conv restricted to IN-BAND rows (rows a
-    # mis-sized z-band drops are absent from inputs AND outputs, and
-    # n_drop counts them) — so the oracle runs on the kept subset
-    _, in_band = TC.row_slots(coords, ts, grid, 4, 4, tzv)
-    kept = np.asarray(in_band)
-    if tz is None:
-        assert int(ts.n_drop) == 0 and kept.sum() == (
-            np.asarray(coords)[:, 0] >= 0).sum()
-    else:
-        assert int(ts.n_drop) == int(
-            (np.asarray(coords)[:, 0] >= 0).sum() - kept.sum())
-    kcoords = jnp.where(in_band[:, None], coords, -1)
-    kfeats = feats * in_band[:, None].astype(feats.dtype)
-    ref = _oracle_subm(kfeats, kcoords, grid, w, b)
-    np.testing.assert_allclose(np.asarray(out)[kept], np.asarray(ref)[kept],
+    ref = _oracle_subm(feats, coords, grid, w, b)
+    keep = np.asarray(jnp.all(coords >= 0, axis=-1))
+    np.testing.assert_allclose(np.asarray(out)[keep], np.asarray(ref)[keep],
                                rtol=1e-5, atol=1e-5)
 
 
 def test_subm_chain_with_halo_roundtrip(rng):
-    """Three chained convs: halo refresh must propagate values across
-    tile borders (incl. corners via the two-pass exchange)."""
+    """Three chained convs across x/y/z tile faces: halo refresh must
+    propagate values across all 26 directions via the three-pass
+    exchange."""
     grid = (6, 16, 16)
     feats, coords = _scene(rng, grid, 200)
     feats, coords = _pad(feats, coords, 224)
@@ -113,7 +105,7 @@ def test_subm_chain_with_halo_roundtrip(rng):
     for w in ws:
         ref = gather_conv(ref, nbr, w) * valid[:, None]
 
-    ts, slot, buf, mask, tz = _to_tiles(feats, coords, grid)
+    ts, slot, buf, mask = _to_tiles(feats, coords, grid, tz=2)  # 3 z chunks
     for w in ws:
         out_int = TC.tile_subm_conv(buf, mask, w)
         buf = TC.repad(out_int, ts)
@@ -122,18 +114,23 @@ def test_subm_chain_with_halo_roundtrip(rng):
                                rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("pz", [1, 0])
-def test_downsample_matches_gather(rng, pz):
+@pytest.mark.parametrize("pz,tz,tz_out", [
+    (1, 4, 2),    # chunk-halving mode
+    (0, 4, 2),
+    (1, 4, 8),    # single-output-chunk mode (tz_out >= d_out)
+])
+def test_downsample_matches_gather(rng, pz, tz, tz_out):
     grid = (8, 24, 24)
     feats, coords = _scene(rng, grid, 300)
     feats, coords = _pad(feats, coords, 320)
     w = jnp.asarray(rng.randn(27, 8, 12).astype(np.float32)) * 0.2
     stride, padding, ksize = (2, 2, 2), (pz, 1, 1), (3, 3, 3)
 
-    ts, slot, buf, mask, tz = _to_tiles(feats, coords, grid)
+    ts, slot, buf, mask = _to_tiles(feats, coords, grid, tz=tz, budget=128)
     yb, mb, ts2, grid2 = TC.tile_downsample(
-        buf, mask, ts, grid, w, ksize, padding, tz_out=tz // 2 + 2,
-        budget_out=48)
+        buf, mask, ts, grid, w, ksize, padding, tz=tz, tz_out=tz_out,
+        budget_out=128)
+    assert int(ts2.n_drop) == 0
 
     # oracle on its own active set
     valid = jnp.all(coords >= 0, axis=-1)
@@ -145,7 +142,7 @@ def test_downsample_matches_gather(rng, pz):
     ref = gather_conv(feats, nbr, w) * ov[:, None]
 
     # every oracle output cell must exist (and match) in the tile output
-    oslot, oband = TC.row_slots(oc, ts2, grid2, 4, 4, tz // 2 + 2)
+    oslot, oband = TC.row_slots(oc, ts2, grid2, 4, 4, tz_out)
     got = TC.rows_from_tiles(jnp.pad(
         yb, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))), oslot)
     ovn = np.asarray(ov)
@@ -159,26 +156,26 @@ def test_downsample_matches_gather(rng, pz):
 
 
 def test_downsample_dilation_through_empty_tile(rng):
-    """A row at a tile's far edge dilates into a region whose 2x2
+    """A row at a tile's far corner dilates into a region whose 2x2
     children are all unoccupied except across the border — the patch
-    ring pieces must carry it."""
-    grid = (4, 16, 16)
-    # single row at the last cell of bev tile (0,0) (ty=tx=4)
-    coords = np.array([[1, 3, 3]], np.int32)
+    ring pieces must carry it (and across a z-chunk boundary)."""
+    grid = (8, 16, 16)
+    # single row at the last cell of tile (bz=0, by=0, bx=0) (4x4, tz=4)
+    coords = np.array([[3, 3, 3]], np.int32)
     feats = np.ones((1, 4), np.float32)
     feats, coords = _pad(feats, coords, 8)
     w = jnp.asarray(np.ones((27, 4, 4), np.float32))
 
-    ts, slot, buf, mask, tz = _to_tiles(feats, coords, grid)
+    ts, slot, buf, mask = _to_tiles(feats, coords, grid, tz=4, budget=16)
     yb, mb, ts2, grid2 = TC.tile_downsample(
-        buf, mask, ts, grid, w, (3, 3, 3), (1, 1, 1), tz_out=4,
+        buf, mask, ts, grid, w, (3, 3, 3), (1, 1, 1), tz=4, tz_out=2,
         budget_out=16)
-    # out active set = dilation: out cells (z', y', x') with input (1,3,3)
-    # in their footprint: y' in {1, 2} x x' in {1, 2} x z' in {0, 1} —
-    # out cell (·, 2, 2) lives in bev tile (1, 1) whose children are empty
-    oc = np.array([[z, y, x] for z in (0, 1) for y in (1, 2)
+    # out active set = dilation of input (3,3,3): out cells (z', y', x')
+    # with z' in {1, 2} x y' in {1, 2} x x' in {1, 2}; cell (2, 2, 2)
+    # lives in tile (bz=1, by=1, bx=1) whose children are all empty
+    oc = np.array([[z, y, x] for z in (1, 2) for y in (1, 2)
                    for x in (1, 2)], np.int32)
-    oslot, oband = TC.row_slots(jnp.asarray(oc), ts2, grid2, 4, 4, 4)
+    oslot, oband = TC.row_slots(jnp.asarray(oc), ts2, grid2, 4, 4, 2)
     got = TC.rows_from_tiles(jnp.pad(
         yb, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))), oslot)
     assert bool(np.asarray(oband).all())
@@ -194,7 +191,7 @@ def test_zconv_matches_gather(rng):
     stride, padding, ksize = (2, 1, 1), (0, 0, 0), (3, 1, 1)
     grid2 = (2, 12, 12)
 
-    ts, slot, buf, mask, tz = _to_tiles(feats, coords, grid)
+    ts, slot, buf, mask = _to_tiles(feats, coords, grid, tz=6)  # 1 chunk
     y, m = TC.tile_zconv(buf, mask, w, d=grid[0])
 
     valid = jnp.all(coords >= 0, axis=-1)
@@ -205,9 +202,8 @@ def test_zconv_matches_gather(rng):
                                     ksize)
     ref = gather_conv(feats, nbr, w) * ov[:, None]
 
-    # same tile set (bev positions unchanged); bands now start at 0
-    ts2 = ts._replace(z0=jnp.zeros_like(ts.z0))
-    oslot, oband = TC.row_slots(oc, ts2, grid2, 4, 4, y.shape[1])
+    # same tile set (bev positions unchanged, single chunk)
+    oslot, oband = TC.row_slots(oc, ts, grid2, 4, 4, y.shape[1])
     got = TC.rows_from_tiles(jnp.pad(
         y, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))), oslot)
     ovn = np.asarray(ov)
@@ -217,11 +213,11 @@ def test_zconv_matches_gather(rng):
 
 
 def test_tiles_to_dense_roundtrip(rng):
-    grid = (4, 12, 12)
+    grid = (6, 12, 12)
     feats, coords = _scene(rng, grid, 120)
     feats, coords = _pad(feats, coords, 128)
-    ts, slot, buf, mask, tz = _to_tiles(feats, coords, grid)
-    dense = TC.tiles_to_dense(buf[:, 1:tz + 1, 1:5, 1:5, :], ts, grid)
+    ts, slot, buf, mask = _to_tiles(feats, coords, grid, tz=2)  # 3 chunks
+    dense = TC.tiles_to_dense(buf[:, 1:3, 1:5, 1:5, :], ts, grid, tz=2)
     ref = np.zeros(grid + (8,), np.float32)
     cn, fn = np.asarray(coords), np.asarray(feats)
     for i in range(len(cn)):
@@ -234,17 +230,17 @@ def test_grad_matches_gather(rng):
     """jax.grad through the tile engine (scatter -> conv -> halo -> conv
     -> gather) equals grad through the gather engine: the tile engine is
     built from differentiable XLA ops and trains without a custom_vjp."""
-    grid = (5, 12, 12)
+    grid = (6, 12, 12)
     feats, coords = _scene(rng, grid, 120)
     feats, coords = _pad(feats, coords, 128)
     w1 = jnp.asarray(rng.randn(27, 8, 8).astype(np.float32)) * 0.2
     w2 = jnp.asarray(rng.randn(27, 8, 8).astype(np.float32)) * 0.2
     valid = jnp.all(coords >= 0, axis=-1)
 
-    ts, slot, buf0, mask, tz = _to_tiles(feats, coords, grid)
+    ts, slot, buf0, mask = _to_tiles(feats, coords, grid, tz=2)
 
     def loss_tile(f, w1, w2):
-        buf = TC.scatter_rows(f, slot, ts, tz, 4, 4)
+        buf = TC.scatter_rows(f, slot, ts, 2, 4, 4)
         out = TC.tile_subm_conv(buf, mask, w1)
         buf = TC.repad(out, ts)
         out = TC.tile_subm_conv(buf, mask, w2)
@@ -266,17 +262,31 @@ def test_grad_matches_gather(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_drop_telemetry(rng):
-    """Rows outside the z-band and beyond the tile budget are COUNTED,
-    never silent (VERDICT r2 weak #1)."""
+def test_overflow_telemetry(rng):
+    """Tile-budget overflow is COUNTED, never silent (VERDICT r2 weak #1).
+    Chunked tiles have no other loss mode."""
     grid = (8, 8, 8)
     coords = np.array([[0, 1, 1], [7, 1, 1], [1, 5, 5]], np.int32)
     feats = np.ones((3, 4), np.float32)
     feats, coords = _pad(feats, coords, 4)
-    # tz=4: tile (0,0) holds z=0 and z=7 -> band [0,4) drops z=7
+    # tz=4: rows land in 3 distinct chunk tiles; all kept at budget 8
     ts, slot = TC.build_tile_set(jnp.asarray(coords), grid, 4, 4, 4, 8)
-    assert int(ts.n_drop) == 1
-    assert int(ts.n_tiles) == 2
-    # budget 1: second tile overflows -> its row dropped too
-    ts2, _ = TC.build_tile_set(jnp.asarray(coords), grid, 4, 4, 4, 1)
-    assert int(ts2.n_drop) == 2
+    assert int(ts.n_drop) == 0
+    assert int(ts.n_tiles) == 3
+    # budget 2: one tile lost -> its row counted
+    ts2, _ = TC.build_tile_set(jnp.asarray(coords), grid, 4, 4, 4, 2)
+    assert int(ts2.n_drop) == 1
+
+    # downsample output overflow: budget_out 1 loses candidate tiles;
+    # every active input cell whose candidates are all lost is counted
+    feats2, coords2 = _pad(np.ones((3, 4), np.float32),
+                           np.array([[0, 1, 1], [7, 1, 1], [1, 5, 5]],
+                                    np.int32), 4)
+    ts3, slot3 = TC.build_tile_set(coords2, grid, 4, 4, 4, 8)
+    buf = TC.scatter_rows(feats2, slot3, ts3, 4, 4, 4)
+    mask = TC.build_mask(slot3, ts3, 4, 4, 4)
+    w = jnp.asarray(np.ones((27, 4, 4), np.float32))
+    _, _, tso, _ = TC.tile_downsample(
+        buf, mask, ts3, grid, w, (3, 3, 3), (1, 1, 1), tz=4, tz_out=2,
+        budget_out=1)
+    assert int(tso.n_drop) >= 1
