@@ -74,6 +74,9 @@ def main():
     p.add_argument("--engine", default="gather")
     p.add_argument("--dense_dtype", default=None,
                    help='e.g. "bfloat16" for the dense stages')
+    p.add_argument("--tile_size", default="4,4")
+    p.add_argument("--tile_tz", default="8,4,2,6")
+    p.add_argument("--tile_budgets", default="72000,36000,14000,2400")
     args = p.parse_args()
 
     import jax
@@ -97,7 +100,13 @@ def main():
         bb = SpMiddleResNetFHD(num_input_features=5, stage_budgets=budgets,
                                dense_from_stage=args.dfs, stop_after=stop,
                                dense_compute_dtype=args.dense_dtype,
-                               engine=args.engine)
+                               engine=args.engine,
+                               tile_size=tuple(int(x) for x in
+                                               args.tile_size.split(",")),
+                               tile_tz=tuple(int(x) for x in
+                                             args.tile_tz.split(",")),
+                               tile_budgets=tuple(int(x) for x in
+                                                  args.tile_budgets.split(",")))
         variables = jax.jit(lambda: bb.init(jax.random.PRNGKey(0), featsj,
                                             coordsj, False))()
 
@@ -105,6 +114,8 @@ def main():
             f = featsj + (carry * 1e-20 + i.astype(jnp.float32) * 1e-12)
             out, ms = bb.apply(variables, f, coordsj, False)
             leaf = out if out is not None else list(ms.values())[-1][0]
+            if isinstance(leaf, tuple):  # tile engine: (buf, mask, ts)
+                leaf = leaf[0]
             if hasattr(leaf, "features"):
                 leaf = leaf.features
             s = jnp.sum(leaf) * 1e-20

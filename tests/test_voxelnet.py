@@ -120,6 +120,7 @@ def test_dense_voxels_substitution(setup):
 @pytest.mark.parametrize("engine,dfs", [
     ("gather", 0), ("gather", 1), ("gather", 2), ("gather", 3),
     ("column", 1), ("column", 2), ("column", 4),
+    ("tile", 99), ("tile", 2), ("tile", 0),
 ])
 def test_dense_mode_matches_sparse(setup, engine, dfs):
     """All engine/split-point combinations are the same operator: with shared
@@ -134,6 +135,7 @@ def test_dense_mode_matches_sparse(setup, engine, dfs):
         # large enough that the sparse path never truncates (the dense path
         # has no budget; truncation is the one intended divergence)
         mcfg["backbone"]["stage_budgets"] = (4096, 4096, 4096, 4096)
+        mcfg["backbone"]["tile_budgets"] = (640, 512, 384, 128)
         return build_detector(mcfg, train_cfg=cfg.train_cfg,
                               test_cfg=cfg.test_cfg,
                               voxel_generator=cfg.voxel_generator)
