@@ -451,74 +451,86 @@ class WinDownsample(nn.Module):
 
 
 class TileSubMStage(nn.Module):
-    """n x [tile subm conv + BN + ReLU] (z-chunked tile engine; parameter
-    names/shapes match SubMStage so checkpoints interchange)."""
+    """n x [tile subm conv + BN + ReLU] (z-chunked tile engine, planes
+    backend ops/tile_planes.py; parameter names/shapes match SubMStage so
+    checkpoints interchange). State: p (B, N, ty+2, tx+2, C) halo-complete
+    planes, mask (B, N, ty, tx, 1)."""
 
     channels: Sequence[int]
+    tz: int
     use_bias: bool = False
     axis_name: Optional[str] = None
     compute_dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, buf, mask, ts, train: bool):
-        from ...ops import tile_conv as TLC
+    def __call__(self, p, mask, ts, train: bool):
+        from ...ops import tile_planes as TP
 
         cd = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        miss = jnp.int32(0)
         for i, ch in enumerate(self.channels):
             w = self.param(
                 f"conv_{i}_kernel",
                 nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
-                (27, buf.shape[-1], ch),
+                (27, p.shape[-1], ch),
             )
             b = (self.param(f"conv_{i}_bias", nn.initializers.zeros, (ch,))
                  if self.use_bias else None)
-            out = jax.vmap(
-                lambda bf, m: TLC.tile_subm_conv(bf, m, w, b, compute_dtype=cd)
-            )(buf, mask)
-            out = BatchNorm(axis_name=self.axis_name, name=f"norm_{i}")(
-                out, mask=mask, use_running_average=not train)
-            out = nn.relu(out) * mask.astype(out.dtype)
-            buf = jax.vmap(TLC.repad)(out, ts)
-        return buf
+            y = jax.vmap(
+                lambda pp, m: TP.subm_conv(pp, m, w, b, compute_dtype=cd)
+            )(p, mask)
+            y = BatchNorm(axis_name=self.axis_name, name=f"norm_{i}")(
+                y, mask=mask, use_running_average=not train)
+            y = nn.relu(y) * mask.astype(y.dtype)
+            p, halo = jax.vmap(
+                lambda yy, t: TP.refresh(yy, t, self.tz))(y, ts)
+            miss = miss + jnp.sum(halo.n_miss)
+        self.sow("telemetry", "halo_miss", miss)
+        return p
 
 
 class TileBasicBlock(nn.Module):
-    """Residual block, tile engine (names match SparseBasicBlock)."""
+    """Residual block, tile engine planes backend (names match
+    SparseBasicBlock)."""
 
     planes: int
+    tz: int
     axis_name: Optional[str] = None
     compute_dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, buf, mask, ts, train: bool):
-        from ...ops import tile_conv as TLC
+    def __call__(self, p, mask, ts, train: bool):
+        from ...ops import tile_planes as TP
 
         cd = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         init = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
-        w1 = self.param("conv1_kernel", init, (27, buf.shape[-1], self.planes))
+        w1 = self.param("conv1_kernel", init, (27, p.shape[-1], self.planes))
         b1 = self.param("conv1_bias", nn.initializers.zeros, (self.planes,))
         w2 = self.param("conv2_kernel", init, (27, self.planes, self.planes))
         b2 = self.param("conv2_bias", nn.initializers.zeros, (self.planes,))
-        tz = buf.shape[2] - 2
-        interior = buf[:, :, 1:tz + 1, 1:-1, 1:-1, :]
-        out = jax.vmap(
-            lambda bf, m: TLC.tile_subm_conv(bf, m, w1, b1, compute_dtype=cd)
-        )(buf, mask)
-        out = BatchNorm(axis_name=self.axis_name, name="bn1")(
-            out, mask=mask, use_running_average=not train)
-        out = nn.relu(out) * mask.astype(out.dtype)
-        out = jax.vmap(TLC.repad)(out, ts)
-        out = jax.vmap(
-            lambda bf, m: TLC.tile_subm_conv(bf, m, w2, b2, compute_dtype=cd)
-        )(out, mask)
-        out = BatchNorm(axis_name=self.axis_name, name="bn2")(
-            out, mask=mask, use_running_average=not train)
-        out = nn.relu(out + interior) * mask.astype(out.dtype)
-        return jax.vmap(TLC.repad)(out, ts)
+        interior = p[:, :, 1:-1, 1:-1, :]
+        y = jax.vmap(
+            lambda pp, m: TP.subm_conv(pp, m, w1, b1, compute_dtype=cd)
+        )(p, mask)
+        y = BatchNorm(axis_name=self.axis_name, name="bn1")(
+            y, mask=mask, use_running_average=not train)
+        y = nn.relu(y) * mask.astype(y.dtype)
+        p2, halo1 = jax.vmap(lambda yy, t: TP.refresh(yy, t, self.tz))(y, ts)
+        y = jax.vmap(
+            lambda pp, m: TP.subm_conv(pp, m, w2, b2, compute_dtype=cd)
+        )(p2, mask)
+        y = BatchNorm(axis_name=self.axis_name, name="bn2")(
+            y, mask=mask, use_running_average=not train)
+        y = nn.relu(y + interior) * mask.astype(y.dtype)
+        p3, halo2 = jax.vmap(lambda yy, t: TP.refresh(yy, t, self.tz))(y, ts)
+        self.sow("telemetry", "halo_miss",
+                 jnp.sum(halo1.n_miss) + jnp.sum(halo2.n_miss))
+        return p3
 
 
 class TileDownsample(nn.Module):
-    """Strided sparse conv, tile engine (names match SparseDownsample)."""
+    """Strided sparse conv, tile engine planes backend (names match
+    SparseDownsample)."""
 
     out_channels: int
     tz: int
@@ -530,56 +542,64 @@ class TileDownsample(nn.Module):
     compute_dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, buf, mask, ts, grid, train: bool):
-        from ...ops import tile_conv as TLC
+    def __call__(self, p, mask, ts, grid, train: bool):
+        from ...ops import tile_planes as TP
         from ...ops.sparse_conv import conv_out_grid
 
         cd = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         w = self.param(
             "conv_kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
-            (int(np.prod(self.ksize)), buf.shape[-1], self.out_channels),
+            (int(np.prod(self.ksize)), p.shape[-1], self.out_channels),
         )
+        yin = p[:, :, 1:-1, 1:-1, :]
 
-        def one(bf, m, t):
-            y, mo, tso, _ = TLC.tile_downsample(
-                bf, m, t, grid, w, self.ksize, self.padding,
+        def one(yy, m, t):
+            y, mo, tso, _, miss = TP.downsample(
+                yy, m, t, grid, w, self.ksize, self.padding,
                 tz=self.tz, tz_out=self.tz_out, budget_out=self.budget_out,
                 compute_dtype=cd)
-            return y, mo, tso
+            return y, mo, tso, miss
 
-        y, mout, ts_out = jax.vmap(one)(buf, mask, ts)
+        y, mout, ts_out, miss = jax.vmap(one)(yin, mask, ts)
         grid_out = conv_out_grid(grid, (2, 2, 2), self.padding, self.ksize)
         y = BatchNorm(axis_name=self.axis_name, name="norm")(
             y, mask=mout, use_running_average=not train)
         y = nn.relu(y) * mout.astype(y.dtype)
-        # y already carries the phantom rank (T+1 leading), as repad expects
-        buf_out = jax.vmap(TLC.repad)(y, ts_out)
-        return buf_out, mout, ts_out, grid_out
+        p_out, halo = jax.vmap(
+            lambda yy, t: TP.refresh(yy, t, self.tz_out))(y, ts_out)
+        self.sow("telemetry", "halo_miss",
+                 jnp.sum(miss) + jnp.sum(halo.n_miss))
+        self.sow("telemetry", "down_drop", jnp.sum(ts_out.n_drop))
+        return p_out, mout, ts_out, grid_out
 
 
 class TileZConv(nn.Module):
     """extra_conv in tile space: z-only (3,1,1) stride-(2,1,1) conv + BN +
-    ReLU inside each (single-z-chunk) tile (names match SparseDownsample)."""
+    ReLU inside each (single-z-chunk) tile (names match SparseDownsample).
+    Takes interior plane rows; returns (T1, d2, ty, tx, Cout) per batch."""
 
     out_channels: int
     d: int
+    tz: int
     axis_name: Optional[str] = None
     compute_dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, buf, mask, train: bool):
-        from ...ops import tile_conv as TLC
+    def __call__(self, p, mask, train: bool):
+        from ...ops import tile_planes as TP
 
         cd = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         w = self.param(
             "conv_kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
-            (3, buf.shape[-1], self.out_channels),
+            (3, p.shape[-1], self.out_channels),
         )
+        yin = p[:, :, 1:-1, 1:-1, :]
         y, m = jax.vmap(
-            lambda bf, mk: TLC.tile_zconv(bf, mk, w, self.d, compute_dtype=cd)
-        )(buf, mask)
+            lambda yy, mk: TP.zconv(yy, mk, w, self.d, self.tz,
+                                    compute_dtype=cd)
+        )(yin, mask)
         y = BatchNorm(axis_name=self.axis_name, name="norm")(
             y, mask=m, use_running_average=not train)
         return nn.relu(y) * m.astype(y.dtype), m
@@ -846,14 +866,16 @@ class SpMiddleResNetFHD(nn.Module):
         return densify(st, grid)
 
     def _tile_forward(self, voxel_features, coords, train: bool):
-        """Tile-engine forward: z-chunked BEV-tile block-sparse convs
-        (ops/tile_conv.py) at every stage, the contiguous/MXU-shaped
-        TPU replacement for spconv rulebooks (reference scn.py:89-185).
-        Stages >= ``dense_from_stage`` optionally switch to masked dense
-        convs via tiles_to_dense. Natively differentiable; budget
-        overflows are sowed into the "telemetry" collection, never
+        """Tile-engine forward: z-chunked BEV-tile block-sparse convs in
+        the planes layout (ops/tile_planes.py; ops/tile_conv.py is the
+        oracle), the contiguous/MXU-shaped TPU replacement for spconv
+        rulebooks (reference scn.py:89-185). Stages >=
+        ``dense_from_stage`` optionally switch to masked dense convs via
+        to_dense. Natively differentiable; budget overflows and one-hot
+        halo misses are sowed into the "telemetry" collection, never
         silent. Parameter tree identical to the gather engine."""
         from ...ops import tile_conv as TLC
+        from ...ops import tile_planes as TP
 
         an = self.axis_name
         cd = self.dense_compute_dtype
@@ -879,21 +901,22 @@ class SpMiddleResNetFHD(nn.Module):
         ts, slot = jax.vmap(
             lambda c: TLC.build_tile_set(c, grid, ty, tx, tzs[0], tbud[0])
         )(coords)
-        buf = jax.vmap(
-            lambda f, s, t: TLC.scatter_rows(f, s, t, tzs[0], ty, tx)
+        p = jax.vmap(
+            lambda f, s, t: TP.scatter_rows(f, s, t, tzs[0], ty, tx)
         )(feats, slot, ts)
         mask = jax.vmap(
-            lambda s, t: TLC.build_mask(s, t, tzs[0], ty, tx))(slot, ts)
+            lambda s, t: TP.build_mask(s, t, tzs[0], ty, tx))(slot, ts)
         self.sow("telemetry", "conv1_tile_drop", jnp.sum(ts.n_drop))
+
+        def densify_tiles(p_, mask_, ts_, g_, tz_):
+            dx = jax.vmap(lambda yy, t: TP.to_dense(
+                yy[:, 1:-1, 1:-1, :], t, g_, tz_))(p_, ts_)
+            dm = jax.vmap(lambda mm, t: TP.to_dense(mm, t, g_, tz_))(mask_, ts_)
+            return dx, dm
 
         dense_x = dense_mask = None
         if dfs <= 0:
-            dense_x = jax.vmap(
-                lambda b, t: TLC.tiles_to_dense(
-                    b[:, 1:tzs[0] + 1, 1:ty + 1, 1:tx + 1], t, grid, tzs[0])
-            )(buf, ts)
-            dense_mask = jax.vmap(
-                lambda m, t: TLC.tiles_to_dense(m, t, grid, tzs[0]))(mask, ts)
+            dense_x, dense_mask = densify_tiles(p, mask, ts, grid, tzs[0])
             dense_x = DenseSubMStage((16,), compute_dtype=cd, axis_name=an,
                                      name="conv_input")(dense_x, dense_mask, train)
             dense_x = DenseBasicBlock(16, compute_dtype=cd, axis_name=an,
@@ -902,13 +925,13 @@ class SpMiddleResNetFHD(nn.Module):
                                       name="conv1_1")(dense_x, dense_mask, train)
             multi_scale = {"conv1": (dense_x, grid)}
         else:
-            buf = TileSubMStage((16,), axis_name=an, compute_dtype=cd,
-                                name="conv_input")(buf, mask, ts, train)
-            buf = TileBasicBlock(16, axis_name=an, compute_dtype=cd,
-                                 name="conv1_0")(buf, mask, ts, train)
-            buf = TileBasicBlock(16, axis_name=an, compute_dtype=cd,
-                                 name="conv1_1")(buf, mask, ts, train)
-            multi_scale = {"conv1": ((buf, mask, ts), grid)}
+            p = TileSubMStage((16,), tz=tzs[0], axis_name=an, compute_dtype=cd,
+                              name="conv_input")(p, mask, ts, train)
+            p = TileBasicBlock(16, tz=tzs[0], axis_name=an, compute_dtype=cd,
+                               name="conv1_0")(p, mask, ts, train)
+            p = TileBasicBlock(16, tz=tzs[0], axis_name=an, compute_dtype=cd,
+                               name="conv1_1")(p, mask, ts, train)
+            multi_scale = {"conv1": ((p, mask, ts), grid)}
         if self.stop_after == "conv1":
             return None, multi_scale
 
@@ -919,30 +942,24 @@ class SpMiddleResNetFHD(nn.Module):
         ]
         for k, (name, ch, pad) in enumerate(stages, start=1):
             if k <= dfs and dense_x is None:
-                buf, mask, ts, grid = TileDownsample(
+                p, mask, ts, grid = TileDownsample(
                     ch, tz=tzs[k - 1], tz_out=tzs[k], budget_out=tbud[k],
                     padding=pad, axis_name=an, compute_dtype=cd,
-                    name=f"{name}_down")(buf, mask, ts, grid, train)
-                self.sow("telemetry", f"{name}_down_drop", jnp.sum(ts.n_drop))
+                    name=f"{name}_down")(p, mask, ts, grid, train)
                 if k == dfs:  # densify the coarser output grid
-                    dense_x = jax.vmap(
-                        lambda b, t: TLC.tiles_to_dense(
-                            b[:, 1:tzs[k] + 1, 1:ty + 1, 1:tx + 1], t, grid,
-                            tzs[k]))(buf, ts)
-                    dense_mask = jax.vmap(
-                        lambda m, t: TLC.tiles_to_dense(m, t, grid, tzs[k])
-                    )(mask, ts)
+                    dense_x, dense_mask = densify_tiles(p, mask, ts, grid,
+                                                        tzs[k])
             else:
                 dense_x, dense_mask = DenseDownsample(
                     ch, (2, 2, 2), pad, ksize=(3, 3, 3), compute_dtype=cd,
                     axis_name=an, name=f"{name}_down")(dense_x, dense_mask, train)
                 grid = conv_out_grid(grid, (2, 2, 2), pad, (3, 3, 3))
             if dense_x is None:
-                buf = TileBasicBlock(ch, axis_name=an, compute_dtype=cd,
-                                     name=f"{name}_0")(buf, mask, ts, train)
-                buf = TileBasicBlock(ch, axis_name=an, compute_dtype=cd,
-                                     name=f"{name}_1")(buf, mask, ts, train)
-                multi_scale[name] = ((buf, mask, ts), grid)
+                p = TileBasicBlock(ch, tz=tzs[k], axis_name=an, compute_dtype=cd,
+                                   name=f"{name}_0")(p, mask, ts, train)
+                p = TileBasicBlock(ch, tz=tzs[k], axis_name=an, compute_dtype=cd,
+                                   name=f"{name}_1")(p, mask, ts, train)
+                multi_scale[name] = ((p, mask, ts), grid)
             else:
                 dense_x = DenseBasicBlock(ch, compute_dtype=cd, axis_name=an,
                                           name=f"{name}_0")(dense_x, dense_mask, train)
@@ -953,8 +970,8 @@ class SpMiddleResNetFHD(nn.Module):
                 return None, multi_scale
 
         if 4 < dfs and dense_x is None:
-            y, m = TileZConv(128, d=grid[0], axis_name=an, compute_dtype=cd,
-                             name="extra_conv")(buf, mask, train)
+            y, m = TileZConv(128, d=grid[0], tz=tzs[3], axis_name=an,
+                             compute_dtype=cd, name="extra_conv")(p, mask, train)
             g4 = ((grid[0] - 3) // 2 + 1, grid[1], grid[2])
             dense = jax.vmap(
                 lambda b, t: TLC.tiles_to_dense(b, t, g4, b.shape[1])
@@ -962,13 +979,7 @@ class SpMiddleResNetFHD(nn.Module):
             bev = dense_to_bev(dense.astype(voxel_features.dtype))
         else:
             if dense_x is None:
-                dense_x = jax.vmap(
-                    lambda b, t: TLC.tiles_to_dense(
-                        b[:, 1:tzs[3] + 1, 1:ty + 1, 1:tx + 1], t, grid,
-                        tzs[3]))(buf, ts)
-                dense_mask = jax.vmap(
-                    lambda m, t: TLC.tiles_to_dense(m, t, grid, tzs[3])
-                )(mask, ts)
+                dense_x, dense_mask = densify_tiles(p, mask, ts, grid, tzs[3])
             dense_x, dense_mask = DenseDownsample(
                 128, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1), compute_dtype=cd,
                 axis_name=an, name="extra_conv")(dense_x, dense_mask, train)
