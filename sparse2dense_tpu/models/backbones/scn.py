@@ -463,7 +463,7 @@ class TileSubMStage(nn.Module):
     compute_dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, p, mask, ts, train: bool):
+    def __call__(self, y, mask, ts, train: bool):
         from ...ops import tile_planes as TP
 
         cd = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
@@ -472,21 +472,20 @@ class TileSubMStage(nn.Module):
             w = self.param(
                 f"conv_{i}_kernel",
                 nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
-                (27, p.shape[-1], ch),
+                (27, y.shape[-1], ch),
             )
             b = (self.param(f"conv_{i}_bias", nn.initializers.zeros, (ch,))
                  if self.use_bias else None)
-            y = jax.vmap(
-                lambda pp, m: TP.subm_conv(pp, m, w, b, compute_dtype=cd)
-            )(p, mask)
+            y, nm = jax.vmap(
+                lambda yy, m, t: TP.subm_conv(yy, m, t, self.tz, w, b,
+                                              compute_dtype=cd)
+            )(y, mask, ts)
+            miss = miss + jnp.sum(nm)
             y = BatchNorm(axis_name=self.axis_name, name=f"norm_{i}")(
                 y, mask=mask, use_running_average=not train)
             y = nn.relu(y) * mask.astype(y.dtype)
-            p, halo = jax.vmap(
-                lambda yy, t: TP.refresh(yy, t, self.tz))(y, ts)
-            miss = miss + jnp.sum(halo.n_miss)
         self.sow("telemetry", "halo_miss", miss)
-        return p
+        return y
 
 
 class TileBasicBlock(nn.Module):
@@ -499,33 +498,30 @@ class TileBasicBlock(nn.Module):
     compute_dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, p, mask, ts, train: bool):
+    def __call__(self, y, mask, ts, train: bool):
         from ...ops import tile_planes as TP
 
         cd = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         init = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
-        w1 = self.param("conv1_kernel", init, (27, p.shape[-1], self.planes))
+        w1 = self.param("conv1_kernel", init, (27, y.shape[-1], self.planes))
         b1 = self.param("conv1_bias", nn.initializers.zeros, (self.planes,))
         w2 = self.param("conv2_kernel", init, (27, self.planes, self.planes))
         b2 = self.param("conv2_bias", nn.initializers.zeros, (self.planes,))
-        interior = p[:, :, 1:-1, 1:-1, :]
-        y = jax.vmap(
-            lambda pp, m: TP.subm_conv(pp, m, w1, b1, compute_dtype=cd)
-        )(p, mask)
-        y = BatchNorm(axis_name=self.axis_name, name="bn1")(
-            y, mask=mask, use_running_average=not train)
-        y = nn.relu(y) * mask.astype(y.dtype)
-        p2, halo1 = jax.vmap(lambda yy, t: TP.refresh(yy, t, self.tz))(y, ts)
-        y = jax.vmap(
-            lambda pp, m: TP.subm_conv(pp, m, w2, b2, compute_dtype=cd)
-        )(p2, mask)
-        y = BatchNorm(axis_name=self.axis_name, name="bn2")(
-            y, mask=mask, use_running_average=not train)
-        y = nn.relu(y + interior) * mask.astype(y.dtype)
-        p3, halo2 = jax.vmap(lambda yy, t: TP.refresh(yy, t, self.tz))(y, ts)
-        self.sow("telemetry", "halo_miss",
-                 jnp.sum(halo1.n_miss) + jnp.sum(halo2.n_miss))
-        return p3
+        res = y
+        out, m1 = jax.vmap(
+            lambda yy, m, t: TP.subm_conv(yy, m, t, self.tz, w1, b1,
+                                          compute_dtype=cd))(y, mask, ts)
+        out = BatchNorm(axis_name=self.axis_name, name="bn1")(
+            out, mask=mask, use_running_average=not train)
+        out = nn.relu(out) * mask.astype(out.dtype)
+        out, m2 = jax.vmap(
+            lambda yy, m, t: TP.subm_conv(yy, m, t, self.tz, w2, b2,
+                                          compute_dtype=cd))(out, mask, ts)
+        out = BatchNorm(axis_name=self.axis_name, name="bn2")(
+            out, mask=mask, use_running_average=not train)
+        out = nn.relu(out + res) * mask.astype(out.dtype)
+        self.sow("telemetry", "halo_miss", jnp.sum(m1) + jnp.sum(m2))
+        return out
 
 
 class TileDownsample(nn.Module):
@@ -542,7 +538,7 @@ class TileDownsample(nn.Module):
     compute_dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, p, mask, ts, grid, train: bool):
+    def __call__(self, y, mask, ts, grid, train: bool):
         from ...ops import tile_planes as TP
         from ...ops.sparse_conv import conv_out_grid
 
@@ -550,28 +546,24 @@ class TileDownsample(nn.Module):
         w = self.param(
             "conv_kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
-            (int(np.prod(self.ksize)), p.shape[-1], self.out_channels),
+            (int(np.prod(self.ksize)), y.shape[-1], self.out_channels),
         )
-        yin = p[:, :, 1:-1, 1:-1, :]
 
         def one(yy, m, t):
-            y, mo, tso, _, miss = TP.downsample(
+            yo, mo, tso, _, miss = TP.downsample(
                 yy, m, t, grid, w, self.ksize, self.padding,
                 tz=self.tz, tz_out=self.tz_out, budget_out=self.budget_out,
                 compute_dtype=cd)
-            return y, mo, tso, miss
+            return yo, mo, tso, miss
 
-        y, mout, ts_out, miss = jax.vmap(one)(yin, mask, ts)
+        y, mout, ts_out, miss = jax.vmap(one)(y, mask, ts)
         grid_out = conv_out_grid(grid, (2, 2, 2), self.padding, self.ksize)
         y = BatchNorm(axis_name=self.axis_name, name="norm")(
             y, mask=mout, use_running_average=not train)
         y = nn.relu(y) * mout.astype(y.dtype)
-        p_out, halo = jax.vmap(
-            lambda yy, t: TP.refresh(yy, t, self.tz_out))(y, ts_out)
-        self.sow("telemetry", "halo_miss",
-                 jnp.sum(miss) + jnp.sum(halo.n_miss))
+        self.sow("telemetry", "halo_miss", jnp.sum(miss))
         self.sow("telemetry", "down_drop", jnp.sum(ts_out.n_drop))
-        return p_out, mout, ts_out, grid_out
+        return y, mout, ts_out, grid_out
 
 
 class TileZConv(nn.Module):
@@ -594,12 +586,11 @@ class TileZConv(nn.Module):
             "conv_kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
             (3, p.shape[-1], self.out_channels),
-        )
-        yin = p[:, :, 1:-1, 1:-1, :]
+        )  # p: interior plane rows (B, N, ty, tx, C)
         y, m = jax.vmap(
             lambda yy, mk: TP.zconv(yy, mk, w, self.d, self.tz,
                                     compute_dtype=cd)
-        )(yin, mask)
+        )(p, mask)
         y = BatchNorm(axis_name=self.axis_name, name="norm")(
             y, mask=m, use_running_average=not train)
         return nn.relu(y) * m.astype(y.dtype), m
@@ -898,9 +889,12 @@ class SpMiddleResNetFHD(nn.Module):
                 f"tile_tz[{k}]={tzs[k]} breaks the chunk chain at d={d_chain[k]}")
         assert tzs[3] >= d_chain[3], "conv4 z-chunk must cover the grid"
 
-        ts, slot = jax.vmap(
+        ts, _ = jax.vmap(
             lambda c: TLC.build_tile_set(c, grid, ty, tx, tzs[0], tbud[0])
         )(coords)
+        slot = jax.vmap(
+            lambda c, t: TP.row_slots(c, t, grid, ty, tx, tzs[0])[0]
+        )(coords, ts)
         p = jax.vmap(
             lambda f, s, t: TP.scatter_rows(f, s, t, tzs[0], ty, tx)
         )(feats, slot, ts)
@@ -909,8 +903,7 @@ class SpMiddleResNetFHD(nn.Module):
         self.sow("telemetry", "conv1_tile_drop", jnp.sum(ts.n_drop))
 
         def densify_tiles(p_, mask_, ts_, g_, tz_):
-            dx = jax.vmap(lambda yy, t: TP.to_dense(
-                yy[:, 1:-1, 1:-1, :], t, g_, tz_))(p_, ts_)
+            dx = jax.vmap(lambda yy, t: TP.to_dense(yy, t, g_, tz_))(p_, ts_)
             dm = jax.vmap(lambda mm, t: TP.to_dense(mm, t, g_, tz_))(mask_, ts_)
             return dx, dm
 

@@ -1,26 +1,31 @@
 """Planes-layout z-chunked BEV-tile engine: the fast TPU tile backend.
 
-Same tile semantics as ops/tile_conv.py (fixed z-chunks, 26-direction
-halo, exact strided downsample — that module stays as the small-scale
-oracle these kernels are tested against), but laid out and scheduled for
-the real chip:
+Same tile semantics as ops/tile_conv.py (fixed z-chunks, exact 26-direction
+neighborhoods, exact strided downsample — that module stays as the
+small-scale oracle these kernels are tested against), but laid out and
+scheduled for the real chip:
 
-- persistent state is PLANES (N, ty+2, tx+2, C) with N = (T+1)*(tz+2):
-  each tile contributes tz+2 plane rows (its z-halo rows inline). XLA's
-  conv path consumes plane args directly; the 5D halo-padded layout of
-  tile_conv.py forces a (16,128)-tiled relayout at the reshape->conv
-  edge that pads a conv1-scale buffer 21x (measured 11.45 GB temp, OOM).
-- halo refresh gathers neighbor content with WINDOWED ONE-HOT MXU
-  contractions (ops/onehot_gather.py), not XLA row-gathers: tile ranks
-  are lexicographic in (bz, by, bx), so every neighbor-rank map is
-  monotone with bounded per-block spread; XLA's native gather moves
-  ~0.14-0.5 Mrows/ms (measured) and would cost more than the convs.
-  Misses are patched exactly and counted (telemetry).
-- submanifold conv: z-packed (Cout' = 3*Cout) VALID 2D conv over all
-  plane rows + flat z-shifted adds; a tile's z-shifts never cross into
-  another tile's rows because the z-halo rows sit inline.
+- persistent state is INTERIOR PLANE ROWS y (N, ty, tx, C) with
+  N = (T+1)*tz — no halo storage at all. XLA's conv path consumes
+  rank-4 plane args directly; any tile-major 5D/6D materialization at a
+  reshape->conv or concat->reshape edge forces a (16,128)-tiled relayout
+  that pads conv1-scale buffers 13-21x (measured 11-21 GB copies, OOM).
+- the submanifold conv needs only XY halos on its 2D-conv input, built by
+  concatenating 8 one-hot-gathered neighbor edge exports around the
+  interior (ops/onehot_gather.py): tile ranks are lexicographic in
+  (bz, by, bx), so every neighbor-rank map is monotone with bounded
+  per-block spread, and the gather runs at MXU matmul speed (XLA's
+  native gather moves only ~0.14-0.5 Mrows/ms, measured).
+- z taps never need halo planes: with the z-packed conv (Cout' = 3*Cout)
+  the z-neighbor contribution to a tile's edge row equals the NEIGHBOR'S
+  OWN already-computed u row — imported by 2 more one-hot gathers and
+  patched into the per-tile edge rows with static slice updates. The
+  diagonal (z+-1, y+-1, x+-1) directions arrive through the neighbor's u
+  because its conv already consumed its xy halos. 10 gathers per conv
+  total, all wide rows.
 - everything is differentiable XLA (one-hot contractions transpose
-  cleanly); training needs no custom_vjp.
+  cleanly); training needs no custom_vjp. Window misses are exact-patched
+  AND counted; tile-budget overflow is counted (telemetry, never silent).
 
 Matches the spconv role of reference det3d/models/backbones/scn.py:89-185.
 Parity: tests/test_tile_planes.py pins every op against ops/tile_conv.py
@@ -28,7 +33,7 @@ Parity: tests/test_tile_planes.py pins every op against ops/tile_conv.py
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,72 +58,10 @@ def _pad_phantom(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(x, ((0, 1),) + ((0, 0),) * (x.ndim - 1))
 
 
-class Halo(NamedTuple):
-    """Per-batch-element refresh telemetry."""
-
-    n_miss: jnp.ndarray  # () int32 one-hot window misses (exact-patched)
-
-
-def scatter_rows(feats: jnp.ndarray, row_slot: jnp.ndarray, ts: TC.TileSet,
-                 tz: int, ty: int, tx: int) -> jnp.ndarray:
-    """(V, C) rows -> plane rows (N, ty+2, tx+2, C), halos refreshed.
-
-    row_slot comes from tile_conv.build_tile_set / row_slots (flat index
-    into the (T+1, tz+2, ty+2, tx+2) halo-padded space)."""
-    t1 = ts.tile_pos.shape[0] + 1
-    c = feats.shape[-1]
-    nslot = t1 * (tz + 2) * (ty + 2) * (tx + 2)
-    buf = jnp.zeros((nslot, c), feats.dtype).at[row_slot].add(
-        feats, mode="drop")
-    y = buf.reshape(t1 * (tz + 2), ty + 2, tx + 2, c)[:, 1:ty + 1, 1:tx + 1]
-    p, _ = refresh(y, ts, tz)
-    return p
-
-
-def build_mask(row_slot: jnp.ndarray, ts: TC.TileSet, tz: int, ty: int,
-               tx: int) -> jnp.ndarray:
-    """Interior active mask in plane rows: (N, ty, tx, 1), zero at z-halo
-    plane rows."""
-    t1 = ts.tile_pos.shape[0] + 1
-    nslot = t1 * (tz + 2) * (ty + 2) * (tx + 2)
-    m = jnp.zeros((nslot, 1), jnp.float32).at[row_slot].max(
-        jnp.ones((row_slot.shape[0], 1), jnp.float32), mode="drop")
-    return m.reshape(t1 * (tz + 2), ty + 2, tx + 2, 1)[:, 1:ty + 1, 1:tx + 1]
-
-
-def _exports(y6: jnp.ndarray):
-    """Folded 2D boundary exports of interior content.
-
-    y6 (T1, tzp, ty, tx, C) plane rows per tile (z-halo rows included but
-    not exported). Returns a dict of (T1, D) arrays."""
-    t1, tzp, ty, tx, c = y6.shape
-    tz = tzp - 2
-    s = y6[:, 1:tz + 1]                                     # interior z
-    e = {
-        "xlo": s[:, :, :, 0, :], "xhi": s[:, :, :, tx - 1, :],
-        "ylo": s[:, :, 0, :, :], "yhi": s[:, :, ty - 1, :, :],
-        "c00": s[:, :, 0, 0, :], "c0x": s[:, :, 0, tx - 1, :],
-        "cx0": s[:, :, ty - 1, 0, :], "cxx": s[:, :, ty - 1, tx - 1, :],
-        "zt": s[:, tz - 1], "zb": s[:, 0],
-    }
-    for tag in ("zt", "zb"):
-        p = e[tag]                                          # (T1, ty, tx, C)
-        e[tag + "_xlo"] = p[:, :, 0, :]
-        e[tag + "_xhi"] = p[:, :, tx - 1, :]
-        e[tag + "_ylo"] = p[:, 0, :, :]
-        e[tag + "_yhi"] = p[:, ty - 1, :, :]
-        e[tag + "_c00"] = p[:, 0, 0, :]
-        e[tag + "_c0x"] = p[:, 0, tx - 1, :]
-        e[tag + "_cx0"] = p[:, ty - 1, 0, :]
-        e[tag + "_cxx"] = p[:, ty - 1, tx - 1, :]
-    return {k: v.reshape(t1, -1) for k, v in e.items()}
-
-
 def _og(table, idx, window):
-    # pad the index stream to a 128 multiple (gather blocks); contract in
-    # the table's own dtype so an f32 state stays bit-exact (production
-    # states are bf16, where the one-hot matmul is exact anyway: gathered
-    # rows are sums of a single product by 1.0)
+    """onehot_gather_exact with 128-padded index stream; contracts in the
+    table's own dtype (bf16 one-hot gathers are exact anyway: each output
+    is a single product by 1.0 accumulated in f32)."""
     m = idx.shape[0]
     mp = -(-m // 128) * 128
     idxp = jnp.pad(idx, (0, mp - m), constant_values=-1)
@@ -127,129 +70,210 @@ def _og(table, idx, window):
     return out[:m], nmiss
 
 
-def _assemble_plane(core, xlo, xhi, ylo, yhi, cmm, cmp_, cpm, cpp,
-                    t1, nz, ty, tx, c):
-    """Concat a (t1, nz, ty, tx, C) core with its 4 edge strips and 4
-    corner columns into (t1, nz, ty+2, tx+2, C)."""
-    mid = jnp.concatenate([xlo.reshape(t1, nz, ty, 1, c), core,
-                           xhi.reshape(t1, nz, ty, 1, c)], axis=3)
-    top = jnp.concatenate([cmm.reshape(t1, nz, 1, 1, c),
-                           ylo.reshape(t1, nz, 1, tx, c),
-                           cmp_.reshape(t1, nz, 1, 1, c)], axis=3)
-    bot = jnp.concatenate([cpm.reshape(t1, nz, 1, 1, c),
-                           yhi.reshape(t1, nz, 1, tx, c),
-                           cpp.reshape(t1, nz, 1, 1, c)], axis=3)
-    return jnp.concatenate([top, mid, bot], axis=2)
+def row_slots(coords: jnp.ndarray, ts: TC.TileSet, grid: Sequence[int],
+              ty: int, tx: int, tz: int):
+    """Interior plane-row slot of each (z, y, x) row: flat index into the
+    (T+1, tz, ty, tx) space; NSLOT for padded/overflow rows."""
+    nbz, nby, nbx = TC.tile_counts(grid, ty, tx, tz)
+    budget = ts.tile_pos.shape[0]
+    z, y, x = coords[:, 0], coords[:, 1], coords[:, 2]
+    valid = jnp.all(coords >= 0, axis=-1)
+    key = ((z // tz) * nby + y // ty) * nbx + x // tx
+    rank = ts.tmap[jnp.where(valid, key, nbz * nby * nbx)]
+    in_set = valid & (rank < budget)
+    zi = z - (z // tz) * tz
+    yi = y - (y // ty) * ty
+    xi = x - (x // tx) * tx
+    nslot = (budget + 1) * tz * ty * tx
+    flat = ((rank * tz + zi) * ty + yi) * tx + xi
+    return jnp.where(in_set, flat, nslot).astype(jnp.int32), in_set
 
 
-def refresh(y: jnp.ndarray, ts: TC.TileSet, tz: int,
-            window: int = 256) -> Tuple[jnp.ndarray, Halo]:
-    """Interior plane rows (N, ty, tx, C) -> halo-complete planes
-    (N, ty+2, tx+2, C) via 26 one-hot export gathers."""
+def scatter_rows(feats: jnp.ndarray, slot: jnp.ndarray, ts: TC.TileSet,
+                 tz: int, ty: int, tx: int) -> jnp.ndarray:
+    """(V, C) rows -> interior plane rows (N, ty, tx, C)."""
+    t1 = ts.tile_pos.shape[0] + 1
+    c = feats.shape[-1]
+    nslot = t1 * tz * ty * tx
+    buf = jnp.zeros((nslot, c), feats.dtype).at[slot].add(feats, mode="drop")
+    return buf.reshape(t1 * tz, ty, tx, c)
+
+
+def build_mask(slot: jnp.ndarray, ts: TC.TileSet, tz: int, ty: int,
+               tx: int) -> jnp.ndarray:
+    """Interior active mask (N, ty, tx, 1)."""
+    t1 = ts.tile_pos.shape[0] + 1
+    nslot = t1 * tz * ty * tx
+    m = jnp.zeros((nslot, 1), jnp.float32).at[slot].max(
+        jnp.ones((slot.shape[0], 1), jnp.float32), mode="drop")
+    return m.reshape(t1 * tz, ty, tx, 1)
+
+
+def rows_from_planes(y: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
+    """(V, C) rows gathered back out of interior plane rows."""
     n, ty, tx, c = y.shape
-    tzp = tz + 2
-    t1 = n // tzp
-    y6 = y.reshape(t1, tzp, ty, tx, c)
-    e = _exports(y6)
-    miss = jnp.int32(0)
+    flat = y.reshape(-1, c)
+    ok = (slot >= 0) & (slot < flat.shape[0])
+    return flat[jnp.clip(slot, 0, flat.shape[0] - 1)] * \
+        ok[:, None].astype(y.dtype)
 
-    def g(tag, d):
+
+def _xy_assemble(y6, ts, window, miss_acc):
+    """Interior rows + 8 one-hot-gathered xy edge exports -> conv input
+    planes (N, ty+2, tx+2, C), rank-4 concat only (layout-safe)."""
+    t1, tz, ty, tx, c = y6.shape
+    n = t1 * tz
+    e = {
+        "xlo": y6[:, :, :, 0, :].reshape(t1, tz * ty * c),
+        "xhi": y6[:, :, :, tx - 1, :].reshape(t1, tz * ty * c),
+        "ylo": y6[:, :, 0, :, :].reshape(t1, tz * tx * c),
+        "yhi": y6[:, :, ty - 1, :, :].reshape(t1, tz * tx * c),
+        "c00": y6[:, :, 0, 0, :].reshape(t1, tz * c),
+        "c0x": y6[:, :, 0, tx - 1, :].reshape(t1, tz * c),
+        "cx0": y6[:, :, ty - 1, 0, :].reshape(t1, tz * c),
+        "cxx": y6[:, :, ty - 1, tx - 1, :].reshape(t1, tz * c),
+    }
+    miss = miss_acc
+
+    def g(tag, d, shp):
         nonlocal miss
-        out, nm = _og(e[tag], _nbr(ts, d), window)
+        out, nm = _og(e[tag], _nbr(ts, (0,) + d), window)
         miss = miss + nm
-        return _pad_phantom(out)   # (T,) gathers -> T1 rows (zero phantom)
+        return _pad_phantom(out).reshape((t1, tz) + shp + (c,)).reshape(
+            (n,) + shp + (c,))
 
-    # interior planes: xy faces + corners from same-z-chunk neighbors
-    mid = _assemble_plane(
-        y6[:, 1:tz + 1],
-        g("xhi", (0, 0, -1)), g("xlo", (0, 0, 1)),
-        g("yhi", (0, -1, 0)), g("ylo", (0, 1, 0)),
-        g("cxx", (0, -1, -1)), g("cx0", (0, -1, 1)),
-        g("c0x", (0, 1, -1)), g("c00", (0, 1, 1)),
-        t1, tz, ty, tx, c)
-
-    # z-halo planes: full plane + edges + corners from z-side neighbors
-    zlo = _assemble_plane(
-        g("zt", (-1, 0, 0)).reshape(t1, 1, ty, tx, c),
-        g("zt_xhi", (-1, 0, -1)), g("zt_xlo", (-1, 0, 1)),
-        g("zt_yhi", (-1, -1, 0)), g("zt_ylo", (-1, 1, 0)),
-        g("zt_cxx", (-1, -1, -1)), g("zt_cx0", (-1, -1, 1)),
-        g("zt_c0x", (-1, 1, -1)), g("zt_c00", (-1, 1, 1)),
-        t1, 1, ty, tx, c)
-    zhi = _assemble_plane(
-        g("zb", (1, 0, 0)).reshape(t1, 1, ty, tx, c),
-        g("zb_xhi", (1, 0, -1)), g("zb_xlo", (1, 0, 1)),
-        g("zb_yhi", (1, -1, 0)), g("zb_ylo", (1, 1, 0)),
-        g("zb_cxx", (1, -1, -1)), g("zb_cx0", (1, -1, 1)),
-        g("zb_c0x", (1, 1, -1)), g("zb_c00", (1, 1, 1)),
-        t1, 1, ty, tx, c)
-
-    p = jnp.concatenate([zlo, mid, zhi], axis=1)   # (T1, tzp, typ, txp, C)
-    p = p.reshape(n, ty + 2, tx + 2, c)
-    # phantom tile rows stay zero: gathers from absent ranks return zero,
-    # but the phantom's own y rows might be nonzero garbage — they are
-    # zero by construction (mask-zeroed conv outputs / zero scatter).
-    return p, Halo(miss)
+    y4 = y6.reshape(n, ty, tx, c)
+    mid = jnp.concatenate([g("xhi", (0, -1), (ty, 1)), y4,
+                           g("xlo", (0, 1), (ty, 1))], axis=2)
+    top = jnp.concatenate([g("cxx", (-1, -1), (1, 1)),
+                           g("yhi", (-1, 0), (1, tx)),
+                           g("cx0", (-1, 1), (1, 1))], axis=2)
+    bot = jnp.concatenate([g("c0x", (1, -1), (1, 1)),
+                           g("ylo", (1, 0), (1, tx)),
+                           g("c00", (1, 1), (1, 1))], axis=2)
+    return jnp.concatenate([top, mid, bot], axis=1), miss
 
 
-def subm_conv(p: jnp.ndarray, mask: jnp.ndarray, w: jnp.ndarray,
-              bias: Optional[jnp.ndarray] = None,
-              compute_dtype=None) -> jnp.ndarray:
-    """Submanifold 3x3x3 conv on halo-complete planes.
+def _z_side_planes(x6, ts, window, miss):
+    """The two out-of-chunk input planes every tile's z-edge rows see
+    (abs z = z0 - 1 from the ZM side, z0 + tz from the ZP side), WITH
+    their xy-halo rings — assembled DIRECTLY from the z-side neighbors'
+    exports (z-face, 4 zx/zy edges, 4 corners each), so a diagonal
+    contribution never relays through a possibly-absent face tile.
+    Returns (zm (T1, ty+2, tx+2, C), zp, miss)."""
+    t1, tz, ty, tx, c = x6.shape
+    planes = {"t": x6[:, tz - 1], "b": x6[:, 0]}     # (T1, ty, tx, C)
+    out = []
+    for side, dz in (("t", -1), ("b", 1)):
+        p = planes[side]
+        e = {
+            "core": p.reshape(t1, -1),
+            "xlo": p[:, :, 0, :].reshape(t1, -1),
+            "xhi": p[:, :, tx - 1, :].reshape(t1, -1),
+            "ylo": p[:, 0, :, :].reshape(t1, -1),
+            "yhi": p[:, ty - 1, :, :].reshape(t1, -1),
+            "c00": p[:, 0, 0, :].reshape(t1, -1),
+            "c0x": p[:, 0, tx - 1, :].reshape(t1, -1),
+            "cx0": p[:, ty - 1, 0, :].reshape(t1, -1),
+            "cxx": p[:, ty - 1, tx - 1, :].reshape(t1, -1),
+        }
 
-    p (N, ty+2, tx+2, Cin); mask (N, ty, tx, 1). w (27, Cin, Cout) z-major
-    taps (the checkpoint layout). Returns interior plane rows
-    (N, ty, tx, Cout), masked (z-halo rows zero). Caller re-refreshes.
+        def g(tag, d, shp, e=e, dz=dz):
+            nonlocal miss
+            o, nm = _og(e[tag], _nbr(ts, (dz,) + d), window)
+            miss = miss + nm
+            return _pad_phantom(o).reshape((t1,) + shp + (c,))
+
+        mid = jnp.concatenate([g("xhi", (0, -1), (ty, 1)),
+                               g("core", (0, 0), (ty, tx)),
+                               g("xlo", (0, 1), (ty, 1))], axis=2)
+        top = jnp.concatenate([g("cxx", (-1, -1), (1, 1)),
+                               g("yhi", (-1, 0), (1, tx)),
+                               g("cx0", (-1, 1), (1, 1))], axis=2)
+        bot = jnp.concatenate([g("c0x", (1, -1), (1, 1)),
+                               g("ylo", (1, 0), (1, tx)),
+                               g("c00", (1, 1), (1, 1))], axis=2)
+        out.append(jnp.concatenate([top, mid, bot], axis=1))
+    return out[0], out[1], miss
+
+
+def subm_conv(y: jnp.ndarray, mask: jnp.ndarray, ts: TC.TileSet, tz: int,
+              w: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
+              compute_dtype=None, window: int = 256):
+    """Submanifold 3x3x3 conv on interior plane rows.
+
+    y (N, ty, tx, Cin), N = (T+1)*tz, tz >= 2; mask (N, ty, tx, 1);
+    w (27, Cin, Cout) z-major taps (the checkpoint layout). Returns
+    (y_out (N, ty, tx, Cout) masked, n_miss telemetry).
     """
-    n, typ_, txp, cin = p.shape
-    ty, tx = typ_ - 2, txp - 2
+    n, ty, tx, cin = y.shape
+    t1 = n // tz
+    assert tz >= 2, "z-chunk height must be >= 2"
     cout = w.shape[-1]
     wk = w.reshape(3, 3, 3, cin, cout)
-    x = p
+    x = y
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         wk = wk.astype(compute_dtype)
     wcat = jnp.concatenate([wk[0], wk[1], wk[2]], axis=-1)  # (3,3,Cin,3Co)
-    u = jax.lax.conv_general_dilated(
-        x, wcat, (1, 1), [(0, 0), (0, 0)],
+
+    x6 = x.reshape(t1, tz, ty, tx, cin)
+    p, miss = _xy_assemble(x6, ts, window, jnp.int32(0))
+    zm_pl, zp_pl, miss = _z_side_planes(x6, ts, window, miss)
+    p_ext = jnp.concatenate([p, zm_pl, zp_pl], axis=0)   # (N + 2*T1, ...)
+    u_ext = jax.lax.conv_general_dilated(
+        p_ext, wcat, (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)                 # (N, ty, tx, 3Co)
+        preferred_element_type=jnp.float32)
+    # partial z-sums accumulate in the compute dtype (each 2D conv already
+    # accumulated f32 internally); keeping u f32 doubles the GB-scale
+    # traffic of the big stages (same policy as the dense z-decomposition)
+    u_ext = u_ext.astype(x.dtype)
+    u, u_zm, u_zp = u_ext[:n], u_ext[n:n + t1], u_ext[n + t1:]
+
+    # flat z-shift: correct for interior rows zi in [1, tz-2]; tile z-edge
+    # rows take their out-of-chunk term from the z-side plane convs
     core = (u[0:n - 2, :, :, 0:cout] + u[1:n - 1, :, :, cout:2 * cout]
             + u[2:n, :, :, 2 * cout:3 * cout])
-    y = jnp.pad(core, ((1, 1), (0, 0), (0, 0), (0, 0))).astype(p.dtype)
+    yf = jnp.pad(core, ((1, 1), (0, 0), (0, 0), (0, 0)))
+    u6 = u.reshape(t1, tz, ty, tx, 3 * cout)
+    y_lo = (u_zm[:, :, :, 0:cout] + u6[:, 0, :, :, cout:2 * cout]
+            + u6[:, 1, :, :, 2 * cout:])
+    y_hi = (u6[:, tz - 2, :, :, 0:cout] + u6[:, tz - 1, :, :, cout:2 * cout]
+            + u_zp[:, :, :, 2 * cout:])
+    y6o = yf.reshape(t1, tz, ty, tx, cout)
+    y6o = jax.lax.dynamic_update_slice_in_dim(y6o, y_lo[:, None], 0, axis=1)
+    y6o = jax.lax.dynamic_update_slice_in_dim(y6o, y_hi[:, None], tz - 1,
+                                              axis=1)
+    out = y6o.reshape(n, ty, tx, cout).astype(y.dtype)
     if bias is not None:
-        y = y + bias
-    return y * mask.astype(y.dtype)
+        out = out + bias
+    return out * mask.astype(out.dtype), miss
 
 
 def zconv(y: jnp.ndarray, mask: jnp.ndarray, w: jnp.ndarray, d: int, tz: int,
           compute_dtype=None):
     """extra_conv: (3,1,1) stride (2,1,1) padding 0, single z-chunk
-    (tz >= d). y (N, ty, tx, C) interior plane rows. Returns
-    (out (T1, d2, ty, tx, Cout), mask_out)."""
+    (tz >= d). Returns (out (T1, d2, ty, tx, Cout), mask_out)."""
     n, ty, tx, cin = y.shape
-    tzp = tz + 2
-    t1 = n // tzp
+    t1 = n // tz
     assert tz >= d
     d2 = (d - 3) // 2 + 1
     wk = w.reshape(3, cin, -1)
-    x6 = y.reshape(t1, tzp, ty, tx, cin)
-    m6 = mask.reshape(t1, tzp, ty, tx, 1)
+    x6 = y.reshape(t1, tz, ty, tx, cin)
+    m6 = mask.reshape(t1, tz, ty, tx, 1)
     if compute_dtype is not None:
         x6 = x6.astype(compute_dtype)
         wk = wk.astype(compute_dtype)
     out = None
     for iz in range(3):
-        # abs in z = 2*k + iz -> plane row = that + 1 (z0 == 0)
-        zsl = jax.lax.slice_in_dim(x6, 1 + iz, 1 + iz + 2 * (d2 - 1) + 1, 2,
-                                   axis=1)
+        zsl = jax.lax.slice_in_dim(x6, iz, iz + 2 * (d2 - 1) + 1, 2, axis=1)
         o = jnp.einsum("tzyxc,cd->tzyxd", zsl, wk[iz],
                        preferred_element_type=jnp.float32)
         out = o if out is None else out + o
     out = out.astype(y.dtype)
     m = jax.lax.reduce_window(
-        m6[:, 1:d + 1], -jnp.inf, jax.lax.max, (1, 3, 1, 1, 1),
-        (1, 2, 1, 1, 1),
+        m6[:, :d], -jnp.inf, jax.lax.max, (1, 3, 1, 1, 1), (1, 2, 1, 1, 1),
         [(0, 0), (0, 0), (0, 0), (0, 0), (0, 0)])
     m = (m > 0).astype(mask.dtype)
     return out * m.astype(out.dtype), m
@@ -263,13 +287,11 @@ def downsample(y: jnp.ndarray, mask: jnp.ndarray, ts: TC.TileSet,
     """Strided (2,2,2) conv, planes layout; same semantics/constraints as
     tile_conv.tile_downsample (2*tz_out == tz or single output chunk).
 
-    y (N, ty, tx, C) interior plane rows (halo state NOT required — the
-    patch reads interiors only). Returns (y_out (N_out, ty, tx, Cout),
-    mask_out, ts_out, grid_out, n_miss)."""
+    y (N, ty, tx, C) interior plane rows. Returns (y_out, mask_out,
+    ts_out, grid_out, n_miss)."""
     d, h, w_g = grid
     n, ty, tx, cin = y.shape
-    tzp = tz + 2
-    t1 = n // tzp
+    t1 = n // tz
     kz, ky, kx = ksize
     pz = padding[0]
     assert (ky, kx) == (3, 3) and padding[1] == 1 and padding[2] == 1
@@ -310,33 +332,25 @@ def downsample(y: jnp.ndarray, mask: jnp.ndarray, ts: TC.TileSet,
         r = jnp.where(ok, ts.tmap[key], t1 - 1)
         return jnp.where(r < t1 - 1, r, -1).astype(jnp.int32)
 
-    # folded full-z exports of the input content (interior rows)
-    y6 = y.reshape(t1, tzp, ty, tx, cin)
-    s6 = y6[:, 1:tz + 1]
-    m6 = mask.reshape(t1, tzp, ty, tx, 1)[:, 1:tz + 1]
-    exp = {
-        "core": s6.reshape(t1, -1),
-        "xlo": s6[:, :, :, 0, :].reshape(t1, -1),
-        "xhi": s6[:, :, :, tx - 1, :].reshape(t1, -1),
-        "ylo": s6[:, :, 0, :, :].reshape(t1, -1),
-        "yhi": s6[:, :, ty - 1, :, :].reshape(t1, -1),
-        "c00": s6[:, :, 0, 0, :].reshape(t1, -1),
-        "c0x": s6[:, :, 0, tx - 1, :].reshape(t1, -1),
-        "cx0": s6[:, :, ty - 1, 0, :].reshape(t1, -1),
-        "cxx": s6[:, :, ty - 1, tx - 1, :].reshape(t1, -1),
-    }
-    mexp = {
-        "core": m6.reshape(t1, -1),
-        "xlo": m6[:, :, :, 0, :].reshape(t1, -1),
-        "xhi": m6[:, :, :, tx - 1, :].reshape(t1, -1),
-        "ylo": m6[:, :, 0, :, :].reshape(t1, -1),
-        "yhi": m6[:, :, ty - 1, :, :].reshape(t1, -1),
-        "c00": m6[:, :, 0, 0, :].reshape(t1, -1),
-        "c0x": m6[:, :, 0, tx - 1, :].reshape(t1, -1),
-        "cx0": m6[:, :, ty - 1, 0, :].reshape(t1, -1),
-        "cxx": m6[:, :, ty - 1, tx - 1, :].reshape(t1, -1),
-    }
-    # piece tag by lattice position (a: y, b: x): which export supplies it
+    y6 = y.reshape(t1, tz, ty, tx, cin)
+    m6 = mask.reshape(t1, tz, ty, tx, 1)
+
+    def make_exp(s6):
+        c = s6.shape[-1]
+        return {
+            "core": s6.reshape(t1, -1),
+            "xlo": s6[:, :, :, 0, :].reshape(t1, -1),
+            "xhi": s6[:, :, :, tx - 1, :].reshape(t1, -1),
+            "ylo": s6[:, :, 0, :, :].reshape(t1, -1),
+            "yhi": s6[:, :, ty - 1, :, :].reshape(t1, -1),
+            "c00": s6[:, :, 0, 0, :].reshape(t1, -1),
+            "c0x": s6[:, :, 0, tx - 1, :].reshape(t1, -1),
+            "cx0": s6[:, :, ty - 1, 0, :].reshape(t1, -1),
+            "cxx": s6[:, :, ty - 1, tx - 1, :].reshape(t1, -1),
+        }
+
+    exp, mexp = make_exp(y6), make_exp(m6)
+
     def tag_of(a, b):
         ia = 0 if a == 0 else (2 if a == 3 else 1)
         ib = 0 if b == 0 else (2 if b == 3 else 1)
@@ -345,10 +359,9 @@ def downsample(y: jnp.ndarray, mask: jnp.ndarray, ts: TC.TileSet,
                 ["c0x", "ylo", "c00"]][ia][ib]
 
     shp_of = {
-        "core": (tz, ty, tx), "xlo": (tz, ty, 1), "xhi": (tz, ty, 1),
-        "ylo": (tz, 1, tx), "yhi": (tz, 1, tx),
-        "c00": (tz, 1, 1), "c0x": (tz, 1, 1),
-        "cx0": (tz, 1, 1), "cxx": (tz, 1, 1),
+        "core": (ty, tx), "xlo": (ty, 1), "xhi": (ty, 1),
+        "ylo": (1, tx), "yhi": (1, tx),
+        "c00": (1, 1), "c0x": (1, 1), "cx0": (1, 1), "cxx": (1, 1),
     }
 
     miss = jnp.int32(0)
@@ -360,12 +373,12 @@ def downsample(y: jnp.ndarray, mask: jnp.ndarray, ts: TC.TileSet,
             row = []
             for b in range(4):
                 tag = tag_of(a, b)
-                sz_, sy_, sx_ = shp_of[tag]
+                sy_, sx_ = shp_of[tag]
                 zparts = []
                 for s, r0, nrows in zgroups:
                     g, nm = _og(src_exp[tag], src_rank(s, a, b), window)
                     miss = miss + nm
-                    g = g.reshape(budget_out, sz_, sy_, sx_, c)
+                    g = g.reshape(budget_out, tz, sy_, sx_, c)
                     zparts.append(g[:, r0 - 1:r0 - 1 + nrows])
                 row.append(jnp.concatenate(zparts, axis=1)
                            if len(zparts) > 1 else zparts[0])
@@ -408,8 +421,7 @@ def downsample(y: jnp.ndarray, mask: jnp.ndarray, ts: TC.TileSet,
     out = out * mout.astype(out.dtype)
 
     # ---- budget-drop telemetry (same math as tile_conv) ----------------
-    zsum = jnp.sum(mask.reshape(t1, tzp, ty, tx)[:t1 - 1, 1:tz + 1],
-                   axis=(2, 3))
+    zsum = jnp.sum(m6[:t1 - 1, :, :, :, 0], axis=(2, 3))
     absz = zlo_in[:, None] + jnp.arange(tz, dtype=jnp.int32)[None, :]
     rlo = jnp.clip(-(-(absz + pz - kz + 1) // 2), 0, d_out - 1)
     rhi = jnp.clip((absz + pz) // 2, 0, d_out - 1)
@@ -425,12 +437,8 @@ def downsample(y: jnp.ndarray, mask: jnp.ndarray, ts: TC.TileSet,
                              budget_out)
     ts_out = TC.TileSet(tpos, tvalid, nbr, tmap_out, n_out, n_drop)
 
-    # to plane rows: (Bo+1 phantom, tz_out -> +2 halo rows) zero-padded
-    out = _pad_phantom(out)
-    mout = _pad_phantom(mout)
-    zpad = ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0))
-    y_out = jnp.pad(out, zpad).reshape(-1, ty, tx, cout)
-    m_out = jnp.pad(mout, zpad).reshape(-1, ty, tx, 1)
+    y_out = _pad_phantom(out).reshape(-1, ty, tx, cout)
+    m_out = _pad_phantom(mout).reshape(-1, ty, tx, 1)
     return y_out, m_out, ts_out, grid_out, miss
 
 
@@ -441,28 +449,12 @@ def to_dense(y: jnp.ndarray, ts: TC.TileSet, grid: Sequence[int],
     transitions)."""
     d, h, w = grid
     n, ty, tx, c = y.shape
-    tzp = tz + 2
-    t1 = n // tzp
+    t1 = n // tz
     nbz, nby, nbx = TC.tile_counts(grid, ty, tx, tz)
-    interior = y.reshape(t1, tzp, ty, tx, c)[:, 1:tz + 1]
+    interior = y.reshape(t1, tz, ty, tx, c)
     ranks = ts.tmap[:nbz * nby * nbx]
     g = interior[ranks]
     g = g.reshape(nbz, nby, nbx, tz, ty, tx, c)
     g = jnp.transpose(g, (0, 3, 1, 4, 2, 5, 6))
     g = g.reshape(nbz * tz, nby * ty, nbx * tx, c)
     return g[:d, :h, :w, :]
-
-
-def rows_from_planes(p_or_y: jnp.ndarray, row_slot: jnp.ndarray,
-                     padded: bool) -> jnp.ndarray:
-    """Gather (V, C) rows back out. ``padded``: p (N, ty+2, tx+2, C) uses
-    row_slot directly; interior y (N, ty, tx, C) needs no halo offset
-    adjustment because row_slot indexes the halo-padded space — pass
-    padded=False only with a freshly padded view."""
-    if not padded:
-        p_or_y = jnp.pad(p_or_y, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    n, typ_, txp, c = p_or_y.shape
-    flat = p_or_y.reshape(-1, c)
-    ok = (row_slot >= 0) & (row_slot < flat.shape[0])
-    return flat[jnp.clip(row_slot, 0, flat.shape[0] - 1)] * \
-        ok[:, None].astype(p_or_y.dtype)

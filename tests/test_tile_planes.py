@@ -1,9 +1,9 @@
 """Planes-layout tile engine vs the 5D tile_conv oracle (itself pinned to
 the gather-GEMM/dense oracle in tests/test_tile_conv.py).
 
-Covers scatter/mask round-trips, halo-complete refresh, chained subm
-convs, strided downsamples in both z modes, zconv, dense round-trip,
-gradients, and the one-hot miss telemetry.
+Covers scatter/mask round-trips, subm convs (xy one-hot halo import +
+z-edge u import), chained convs, strided downsamples in both z modes,
+zconv, dense round-trip, gradients, and the one-hot miss telemetry.
 """
 import numpy as np
 import pytest
@@ -37,27 +37,34 @@ def _pad(feats, coords, budget):
 
 
 def _both(feats, coords, grid, ty=4, tx=4, tz=4, budget=160):
-    ts, slot = TC.build_tile_set(coords, grid, ty, tx, tz, budget)
-    buf5 = TC.scatter_rows(feats, slot, ts, tz, ty, tx)       # oracle state
-    mask5 = TC.build_mask(slot, ts, tz, ty, tx)
-    p = TP.scatter_rows(feats, slot, ts, tz, ty, tx)          # planes state
+    ts, slot5 = TC.build_tile_set(coords, grid, ty, tx, tz, budget)
+    buf5 = TC.scatter_rows(feats, slot5, ts, tz, ty, tx)      # oracle state
+    mask5 = TC.build_mask(slot5, ts, tz, ty, tx)
+    slot, _ = TP.row_slots(coords, ts, grid, ty, tx, tz)
+    y = TP.scatter_rows(feats, slot, ts, tz, ty, tx)          # planes state
     maskp = TP.build_mask(slot, ts, tz, ty, tx)
-    return ts, slot, buf5, mask5, p, maskp
+    return ts, slot5, buf5, mask5, slot, y, maskp
 
 
-def test_scatter_and_refresh_match_5d(rng):
+def _interior5(y, ts, tz):
+    t1 = ts.tile_pos.shape[0] + 1
+    return y.reshape((t1, tz) + y.shape[1:])
+
+
+def test_scatter_and_mask_match_5d(rng):
     grid = (9, 24, 24)
     feats, coords = _scene(rng, grid, 300)
     feats, coords = _pad(feats, coords, 320)
-    ts, slot, buf5, mask5, p, maskp = _both(feats, coords, grid, tz=4)
-    # planes state == 5D halo-padded buffer, row-for-row
-    t1 = ts.tile_pos.shape[0] + 1
-    p5 = p.reshape(t1, 6, 6, 6, 8)
-    np.testing.assert_allclose(np.asarray(p5), np.asarray(buf5),
-                               rtol=1e-6, atol=1e-6)
-    m5 = maskp.reshape(t1, 6, 4, 4, 1)[:, 1:5]
-    np.testing.assert_allclose(np.asarray(m5), np.asarray(mask5),
-                               rtol=0, atol=0)
+    ts, slot5, buf5, mask5, slot, y, maskp = _both(feats, coords, grid, tz=4)
+    np.testing.assert_allclose(
+        np.asarray(_interior5(y, ts, 4)),
+        np.asarray(buf5[:, 1:5, 1:5, 1:5, :]), rtol=0, atol=0)
+    np.testing.assert_array_equal(
+        np.asarray(_interior5(maskp, ts, 4)), np.asarray(mask5))
+    rows = TP.rows_from_planes(y, slot)
+    keep = np.asarray(jnp.all(coords >= 0, axis=-1))
+    np.testing.assert_allclose(np.asarray(rows)[keep],
+                               np.asarray(feats)[keep], rtol=0, atol=0)
 
 
 @pytest.mark.parametrize("tz", [4, 2])
@@ -67,18 +74,16 @@ def test_subm_chain_matches_5d(rng, tz):
     feats, coords = _pad(feats, coords, 288)
     ws = [jnp.asarray(rng.randn(27, 8, 8).astype(np.float32)) * 0.25
           for _ in range(3)]
-    ts, slot, buf5, mask5, p, maskp = _both(feats, coords, grid, tz=tz)
+    ts, slot5, buf5, mask5, slot, y, maskp = _both(feats, coords, grid, tz=tz)
 
     for w in ws:
         out5 = TC.tile_subm_conv(buf5, mask5, w)
         buf5 = TC.repad(out5, ts)
-        y = TP.subm_conv(p, maskp, w)
-        p, halo = TP.refresh(y, ts, tz)
-        assert int(halo.n_miss) == 0  # windows cover at this scale
-    t1 = ts.tile_pos.shape[0] + 1
-    p5 = p.reshape(t1, tz + 2, 6, 6, 8)
-    np.testing.assert_allclose(np.asarray(p5), np.asarray(buf5),
-                               rtol=1e-4, atol=1e-4)
+        y, nmiss = TP.subm_conv(y, maskp, ts, tz, w)
+        assert int(nmiss) == 0  # windows cover at this scale
+    np.testing.assert_allclose(
+        np.asarray(_interior5(y, ts, tz)),
+        np.asarray(buf5[:, 1:tz + 1, 1:5, 1:5, :]), rtol=1e-4, atol=1e-4)
 
 
 @pytest.mark.parametrize("pz,tz,tz_out", [(1, 4, 2), (0, 4, 2), (1, 4, 8)])
@@ -88,26 +93,24 @@ def test_downsample_matches_5d(rng, pz, tz, tz_out):
     feats, coords = _pad(feats, coords, 320)
     w = jnp.asarray(rng.randn(27, 8, 12).astype(np.float32)) * 0.2
     ksize, padding = (3, 3, 3), (pz, 1, 1)
-    ts, slot, buf5, mask5, p, maskp = _both(feats, coords, grid, tz=tz,
-                                            budget=128)
+    ts, slot5, buf5, mask5, slot, y, maskp = _both(
+        feats, coords, grid, tz=tz, budget=128)
     y5, m5, ts5, grid5 = TC.tile_downsample(
         buf5, mask5, ts, grid, w, ksize, padding, tz=tz, tz_out=tz_out,
         budget_out=128)
-    yin = p[:, 1:5, 1:5, :]  # interior plane rows of the planes state
     yp, mp, tsp, gridp, miss = TP.downsample(
-        yin, maskp, ts, grid, w, ksize, padding, tz=tz, tz_out=tz_out,
+        y, maskp, ts, grid, w, ksize, padding, tz=tz, tz_out=tz_out,
         budget_out=128)
     assert gridp == grid5
     assert int(miss) == 0
     np.testing.assert_array_equal(np.asarray(tsp.tile_pos),
                                   np.asarray(ts5.tile_pos))
     assert int(tsp.n_drop) == int(ts5.n_drop) == 0
-    b1 = yp.reshape(-1, tz_out + 2, 4, 4, 12)[:, 1:tz_out + 1]
-    np.testing.assert_allclose(np.asarray(b1),
-                               np.asarray(y5[:, :tz_out][:, :]),
-                               rtol=1e-4, atol=1e-4)
-    mb = mp.reshape(-1, tz_out + 2, 4, 4, 1)[:, 1:tz_out + 1]
-    np.testing.assert_array_equal(np.asarray(mb), np.asarray(m5))
+    np.testing.assert_allclose(
+        np.asarray(_interior5(yp, tsp, tz_out)), np.asarray(y5[:, :tz_out]),
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(_interior5(mp, tsp, tz_out)), np.asarray(m5))
 
 
 def test_zconv_and_dense_match_5d(rng):
@@ -115,35 +118,18 @@ def test_zconv_and_dense_match_5d(rng):
     feats, coords = _scene(rng, grid, 150)
     feats, coords = _pad(feats, coords, 160)
     w = jnp.asarray(rng.randn(3, 8, 16).astype(np.float32)) * 0.2
-    ts, slot, buf5, mask5, p, maskp = _both(feats, coords, grid, tz=6)
+    ts, slot5, buf5, mask5, slot, y, maskp = _both(feats, coords, grid, tz=6)
 
     y5, m5 = TC.tile_zconv(buf5, mask5, w, d=grid[0])
-    yin = p[:, 1:5, 1:5, :]
-    yp, mp = TP.zconv(yin, maskp, w, d=grid[0], tz=6)
+    yp, mp = TP.zconv(y, maskp, w, d=grid[0], tz=6)
     np.testing.assert_allclose(np.asarray(yp), np.asarray(y5),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(mp), np.asarray(m5))
 
     dense5 = TC.tiles_to_dense(buf5[:, 1:7, 1:5, 1:5, :], ts, grid, tz=6)
-    densep = TP.to_dense(yin_to_rows(p), ts, grid, tz=6)
+    densep = TP.to_dense(y, ts, grid, tz=6)
     np.testing.assert_allclose(np.asarray(densep), np.asarray(dense5),
                                rtol=1e-6, atol=1e-6)
-
-
-def yin_to_rows(p):
-    return p[:, 1:-1, 1:-1, :]
-
-
-def test_rows_roundtrip(rng):
-    grid = (6, 16, 16)
-    feats, coords = _scene(rng, grid, 200)
-    feats, coords = _pad(feats, coords, 224)
-    ts, slot = TC.build_tile_set(coords, grid, 4, 4, 2, 160)
-    p = TP.scatter_rows(feats, slot, ts, 2, 4, 4)
-    rows = TP.rows_from_planes(p, slot, padded=True)
-    keep = np.asarray(jnp.all(coords >= 0, axis=-1))
-    np.testing.assert_allclose(np.asarray(rows)[keep],
-                               np.asarray(feats)[keep], rtol=1e-6, atol=1e-6)
 
 
 def test_grad_matches_5d(rng):
@@ -152,25 +138,25 @@ def test_grad_matches_5d(rng):
     feats, coords = _pad(feats, coords, 128)
     w1 = jnp.asarray(rng.randn(27, 8, 8).astype(np.float32)) * 0.2
     w2 = jnp.asarray(rng.randn(27, 8, 8).astype(np.float32)) * 0.2
-    ts, slot = TC.build_tile_set(coords, grid, 4, 4, 2, 160)
-    mask5 = TC.build_mask(slot, ts, 2, 4, 4)
+    ts, slot5 = TC.build_tile_set(coords, grid, 4, 4, 2, 160)
+    mask5 = TC.build_mask(slot5, ts, 2, 4, 4)
+    slot, _ = TP.row_slots(coords, ts, grid, 4, 4, 2)
     maskp = TP.build_mask(slot, ts, 2, 4, 4)
 
     def loss_planes(f, w1, w2):
-        p = TP.scatter_rows(f, slot, ts, 2, 4, 4)
-        y = TP.subm_conv(p, maskp, w1, compute_dtype=jnp.float32)
-        p, _ = TP.refresh(y, ts, 2)
-        y = TP.subm_conv(p, maskp, w2, compute_dtype=jnp.float32)
-        rows = TP.rows_from_planes(y, slot, padded=False)
+        y = TP.scatter_rows(f, slot, ts, 2, 4, 4)
+        y, _ = TP.subm_conv(y, maskp, ts, 2, w1, compute_dtype=jnp.float32)
+        y, _ = TP.subm_conv(y, maskp, ts, 2, w2, compute_dtype=jnp.float32)
+        rows = TP.rows_from_planes(y, slot)
         return jnp.sum(rows ** 2)
 
     def loss_5d(f, w1, w2):
-        buf = TC.scatter_rows(f, slot, ts, 2, 4, 4)
+        buf = TC.scatter_rows(f, slot5, ts, 2, 4, 4)
         out = TC.tile_subm_conv(buf, mask5, w1)
         buf = TC.repad(out, ts)
         out = TC.tile_subm_conv(buf, mask5, w2)
         rows = TC.rows_from_tiles(jnp.pad(
-            out, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))), slot)
+            out, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))), slot5)
         return jnp.sum(rows ** 2)
 
     gp = jax.grad(loss_planes, argnums=(0, 1, 2))(feats, w1, w2)
@@ -186,14 +172,16 @@ def test_miss_telemetry(rng):
     grid = (4, 64, 64)
     feats, coords = _scene(rng, grid, 500)
     feats, coords = _pad(feats, coords, 512)
-    ts, slot = TC.build_tile_set(coords, grid, 4, 4, 4, 512)
-    p = TP.scatter_rows(feats, slot, ts, 4, 4, 4)
+    ts, _ = TC.build_tile_set(coords, grid, 4, 4, 4, 512)
+    slot, _ = TP.row_slots(coords, ts, grid, 4, 4, 4)
+    y = TP.scatter_rows(feats, slot, ts, 4, 4, 4)
     maskp = TP.build_mask(slot, ts, 4, 4, 4)
     w = jnp.asarray(rng.randn(27, 8, 8).astype(np.float32)) * 0.2
-    y = TP.subm_conv(p, maskp, w, compute_dtype=jnp.float32)
-    p_small, halo_small = TP.refresh(y, ts, 4, window=8)
-    p_big, halo_big = TP.refresh(y, ts, 4, window=256)
-    np.testing.assert_allclose(np.asarray(p_small), np.asarray(p_big),
+    y_small, miss_small = TP.subm_conv(y, maskp, ts, 4, w,
+                                       compute_dtype=jnp.float32, window=8)
+    y_big, miss_big = TP.subm_conv(y, maskp, ts, 4, w,
+                                   compute_dtype=jnp.float32, window=256)
+    np.testing.assert_allclose(np.asarray(y_small), np.asarray(y_big),
                                rtol=1e-3, atol=1e-3)
-    assert int(halo_small.n_miss) > 0
-    assert int(halo_big.n_miss) == 0
+    assert int(miss_small) > 0
+    assert int(miss_big) == 0
