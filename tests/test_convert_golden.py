@@ -203,3 +203,159 @@ def test_spconv_tap_order_golden():
     got = np.asarray(gather_conv(jnp.asarray(feats), nbr, jnp.asarray(w_ours),
                                  jnp.asarray(conv.bias.detach().numpy())))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# Full-model golden: PillarFeatureNet -> Scatter -> RPN -> CenterHead student
+# (VERDICT r2 #7). All modules are pure torch, built to mirror the reference
+# layer structure and state_dict key layout (det3d pillar_encoder.py:16-154,
+# rpn.py:68-141, center_head.py SepHead); one converted end-to-end forward
+# must match the torch activations.
+# --------------------------------------------------------------------------
+
+class _TorchPFN(nn.Module):
+    """Reference PillarFeatureNet (decoration + one PFNLayer)."""
+
+    def __init__(self, c_dec, units, voxel_size, pc_range):
+        super().__init__()
+        layer = nn.Module()
+        layer.linear = nn.Linear(c_dec, units, bias=False)
+        layer.norm = nn.BatchNorm1d(units, eps=1e-3, momentum=0.01)
+        self.pfn_layers = nn.ModuleList([layer])
+        self.voxel_size = voxel_size
+        self.pc_range = pc_range
+
+    def forward(self, voxels, num_points, coords):
+        # decoration mirrors the reference formulas (pillar_encoder.py:96-141)
+        v, p = voxels.shape[0], voxels.shape[1]
+        npc = torch.clamp(num_points, min=1).float()[:, None, None]
+        mean = voxels[..., :3].sum(1, keepdim=True) / npc
+        f_cluster = voxels[..., :3] - mean
+        vx, vy = self.voxel_size[0], self.voxel_size[1]
+        x_off = vx / 2 + self.pc_range[0]
+        y_off = vy / 2 + self.pc_range[1]
+        cx = coords[:, 2].float()[:, None] * vx + x_off
+        cy = coords[:, 1].float()[:, None] * vy + y_off
+        f_center = torch.stack(
+            [voxels[..., 0] - cx, voxels[..., 1] - cy], dim=-1)
+        feats = torch.cat([voxels, f_cluster, f_center], dim=-1)
+        pm = (torch.arange(p)[None, :] < num_points[:, None]).float()
+        feats = feats * pm[..., None]
+        lay = self.pfn_layers[0]
+        x = lay.linear(feats)
+        x = lay.norm(x.permute(0, 2, 1)).permute(0, 2, 1)
+        x = torch.relu(x)
+        return x.max(dim=1)[0]    # (V, units)
+
+
+class _TorchSepHead(nn.Module):
+    def __init__(self, in_ch, heads, head_conv=64, fk=3):
+        super().__init__()
+        for name, (classes, num_conv) in heads.items():
+            mods = []
+            c = in_ch
+            for _ in range(num_conv - 1):
+                mods += [nn.Conv2d(c, head_conv, fk, padding=fk // 2,
+                                   bias=True),
+                         nn.BatchNorm2d(head_conv, eps=1e-3, momentum=0.01),
+                         nn.ReLU()]
+                c = head_conv
+            mods.append(nn.Conv2d(c, classes, fk, padding=fk // 2, bias=True))
+            setattr(self, name, nn.Sequential(*mods))
+        self._names = list(heads)
+
+    def forward(self, x):
+        return {n: getattr(self, n)(x) for n in self._names}
+
+
+class _TorchCenterHead(nn.Module):
+    def __init__(self, in_ch, share_ch, heads):
+        super().__init__()
+        self.shared_conv = nn.Sequential(
+            nn.Conv2d(in_ch, share_ch, 3, padding=1, bias=True),
+            nn.BatchNorm2d(share_ch, eps=1e-3, momentum=0.01), nn.ReLU())
+        self.tasks = nn.ModuleList([_TorchSepHead(share_ch, heads)])
+
+    def forward(self, x):
+        return self.tasks[0](self.shared_conv(x))
+
+
+class _TorchStudent(nn.Module):
+    def __init__(self, voxel_size, pc_range, grid, units, heads):
+        super().__init__()
+        self.reader = _TorchPFN(9, units, voxel_size, pc_range)
+        self.neck = _TorchRPN(units, [2, 2], [1, 2], [8, 16], [1, 2], [8, 8])
+        self.bbox_head = _TorchCenterHead(16, 8, heads)
+        self.grid = grid
+
+    def forward(self, voxels, num_points, coords):
+        feats = self.reader(voxels, num_points, coords)
+        ny, nx = self.grid
+        canvas = torch.zeros(1, feats.shape[1], ny, nx)
+        canvas[0, :, coords[:, 1].long(), coords[:, 2].long()] = feats.T
+        return self.bbox_head(self.neck(canvas))
+
+
+def test_full_student_conversion_golden():
+    """End-to-end converted forward (reader -> scatter -> neck -> head)
+    matches the torch activations (reference convert_voxelnet.py:35 flow;
+    loader semantics torchie/trainer/checkpoint.py:146-199)."""
+    from sparse2dense_tpu.models import build_detector
+
+    voxel_size = (0.4, 0.4, 4.0)
+    pc_range = (-3.2, -3.2, -2.0, 3.2, 3.2, 2.0)
+    grid = (16, 16)
+    heads = {"hm": (2, 2), "reg": (2, 2)}
+    tm = _TorchStudent(voxel_size, pc_range, grid, units=8, heads=heads)
+    _seeded_init(tm)
+    tm.eval()
+
+    rng = np.random.RandomState(5)
+    v, p = 40, 6
+    voxels = rng.randn(v, p, 4).astype(np.float32)
+    num_points = rng.randint(1, p + 1, v).astype(np.int32)
+    cyx = rng.choice(16 * 16, v, replace=False).astype(np.int32)
+    coords = np.stack([np.zeros(v, np.int32), cyx // 16, cyx % 16], -1)
+    pid = np.arange(p)[None, :] < num_points[:, None]
+    voxels = voxels * pid[..., None]
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(voxels),
+                  torch.from_numpy(num_points).long(),
+                  torch.from_numpy(coords).long())
+
+    model_cfg = dict(
+        type="PointPillars",
+        reader=dict(type="PillarFeatureNet", num_filters=[8],
+                    num_input_features=4, voxel_size=voxel_size,
+                    pc_range=pc_range),
+        backbone=dict(type="PointPillarsScatter", ds_factor=1,
+                      num_input_features=8, grid_shape=grid),
+        neck=dict(type="RPN", layer_nums=[2, 2], ds_layer_strides=[1, 2],
+                  ds_num_filters=[8, 16], us_layer_strides=[1, 2],
+                  us_num_filters=[8, 8], num_input_features=8),
+        bbox_head=dict(type="CenterHead", in_channels=16,
+                       tasks=[dict(num_class=2, class_names=["a", "b"])],
+                       dataset="waymo", weight=2.0,
+                       code_weights=[1.0] * 8, share_conv_channel=8,
+                       common_heads={"reg": (2, 2)}),
+    )
+    fm = build_detector(model_cfg)
+    example = {
+        "voxels": jnp.asarray(voxels)[None],
+        "num_points": jnp.asarray(num_points)[None],
+        "coordinates": jnp.asarray(coords)[None],
+    }
+    variables = fm.init(jax.random.PRNGKey(0), example, train=False)
+    sd = {k: np.asarray(val) for k, val in tm.state_dict().items()}
+    nested, unmatched = convert_state_dict(sd, model_cfg)
+    assert not unmatched, unmatched
+    variables, skipped = apply_to_variables(variables, nested)
+    assert not skipped, skipped
+
+    preds = fm.apply(variables, example, train=False)
+    got = preds[0]
+    for name in ("hm", "reg"):
+        np.testing.assert_allclose(
+            np.asarray(got[name][0]), _to_nhwc(want[name])[0],
+            rtol=1e-4, atol=1e-4)
