@@ -149,6 +149,70 @@ def bench_voxelnet_s2d():
     }), flush=True)
 
 
+def bench_voxelizer():
+    """Host voxelization throughput (named driver metric, BASELINE.json):
+    the native C++ voxelizer (csrc/voxelizer.cpp) on a Waymo-scale cloud;
+    falls back to the NumPy parity path if the library is absent."""
+    from sparse2dense_tpu.ops.voxelize import VoxelGenerator
+    from sparse2dense_tpu.training.synthetic import make_points
+
+    rng = np.random.RandomState(3)
+    pc_range = [-75.2, -75.2, -2.0, 75.2, 75.2, 4.0]
+    pts = make_points(rng, 180000, pc_range).astype(np.float32)
+    vg = VoxelGenerator([0.1, 0.1, 0.15], pc_range, 5, 150000)
+    vg.generate(pts)  # warm (allocators, native lib load)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        vg.generate(pts)
+        ts.append(time.perf_counter() - t0)
+    mpts = len(pts) / np.median(ts) / 1e6
+    # comparator: the reference's numba points_to_voxel kernel measures
+    # ~4-6 Mpts/s on server CPUs (det3d/ops/point_cloud/point_cloud_ops.py:112)
+    print(json.dumps({
+        "metric": "voxelization_throughput",
+        "value": round(float(mpts), 2),
+        "unit": "Mpts/s",
+        "vs_baseline": round(float(mpts) / 5.0, 3),
+    }), flush=True)
+
+
+def bench_two_stage():
+    """Two-stage CenterPoint-VoxelNet+S2D (BEV-ROI refinement on device,
+    models/detectors/two_stage.py; reference two_stage.py:9-199) — the
+    parity-north-star model family. Same comparator hardware class as the
+    one-stage flagship (~11.5 FPS spconv/3090; the second stage adds ~3 ms
+    on GPU, so the published number is reused)."""
+    import jax
+
+    from sparse2dense_tpu.utils import Config
+    from sparse2dense_tpu.models import build_detector
+    from sparse2dense_tpu.training.synthetic import make_batch
+
+    cfg = Config.fromfile(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "configs", "waymo",
+            "voxelnet", "two_stage",
+            "waymo_centerpoint_voxelnet_two_stage_distill_interval_5.py"))
+    cfg.S_model["first_stage_cfg"]["bbox_head"]["init_bias"] = -6.0
+    model = build_detector(cfg.S_model, test_cfg=cfg.test_cfg,
+                           voxel_generator=cfg.voxel_generator)
+    batch = make_batch(cfg, 1, max_voxels=150000, n_points=170000,
+                       n_obj=32, with_targets=False)
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "proposal": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)}, batch, train=False))()
+    fps = _bench_model(model, variables, batch, k1=2, k2=6)
+    print(json.dumps({
+        "metric": "centerpoint_voxelnet_s2d_two_stage_inference",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 11.5, 3),
+    }), flush=True)
+
+
 def main():
     import jax
 
@@ -156,10 +220,15 @@ def main():
         jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     except Exception:
         pass
-    if os.environ.get("S2D_BENCH", "all") in ("all", "pillar"):
+    which = os.environ.get("S2D_BENCH", "all")
+    if which in ("all", "voxelizer"):
+        bench_voxelizer()
+    if which in ("all", "pillar"):
         bench_pillar()
-    if os.environ.get("S2D_BENCH", "all") in ("all", "voxelnet"):
-        bench_voxelnet_s2d()
+    if which in ("all", "twostage"):
+        bench_two_stage()
+    if which in ("all", "voxelnet"):
+        bench_voxelnet_s2d()  # the FLAGSHIP line stays last
 
 
 if __name__ == "__main__":

@@ -118,83 +118,56 @@ def rows_from_planes(y: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
         ok[:, None].astype(y.dtype)
 
 
-def _xy_assemble(y6, ts, window, miss_acc):
-    """Interior rows + 8 one-hot-gathered xy edge exports -> conv input
-    planes (N, ty+2, tx+2, C), rank-4 concat only (layout-safe)."""
-    t1, tz, ty, tx, c = y6.shape
-    n = t1 * tz
-    e = {
-        "xlo": y6[:, :, :, 0, :].reshape(t1, tz * ty * c),
-        "xhi": y6[:, :, :, tx - 1, :].reshape(t1, tz * ty * c),
-        "ylo": y6[:, :, 0, :, :].reshape(t1, tz * tx * c),
-        "yhi": y6[:, :, ty - 1, :, :].reshape(t1, tz * tx * c),
-        "c00": y6[:, :, 0, 0, :].reshape(t1, tz * c),
-        "c0x": y6[:, :, 0, tx - 1, :].reshape(t1, tz * c),
-        "cx0": y6[:, :, ty - 1, 0, :].reshape(t1, tz * c),
-        "cxx": y6[:, :, ty - 1, tx - 1, :].reshape(t1, tz * c),
-    }
-    miss = miss_acc
-
-    def g(tag, d, shp):
-        nonlocal miss
-        out, nm = _og(e[tag], _nbr(ts, (0,) + d), window)
-        miss = miss + nm
-        return _pad_phantom(out).reshape((t1, tz) + shp + (c,)).reshape(
-            (n,) + shp + (c,))
-
-    y4 = y6.reshape(n, ty, tx, c)
-    mid = jnp.concatenate([g("xhi", (0, -1), (ty, 1)), y4,
-                           g("xlo", (0, 1), (ty, 1))], axis=2)
-    top = jnp.concatenate([g("cxx", (-1, -1), (1, 1)),
-                           g("yhi", (-1, 0), (1, tx)),
-                           g("cx0", (-1, 1), (1, 1))], axis=2)
-    bot = jnp.concatenate([g("c0x", (1, -1), (1, 1)),
-                           g("ylo", (1, 0), (1, tx)),
-                           g("c00", (1, 1), (1, 1))], axis=2)
-    return jnp.concatenate([top, mid, bot], axis=1), miss
+def _corr_col(ext, wcat, k, cin, kx_idx):
+    """Correction for a missing input COLUMN: ext (M, (k+2)*C) holds the
+    column cells extended by one cell on each end (zeros for x columns —
+    their corner taps belong to the row strips). Returns (M, k, 3Co) =
+    sum_a ext[i+a] @ wcat[a, kx_idx]."""
+    m = ext.shape[0]
+    co3 = wcat.shape[-1]
+    acc = None
+    for a in range(3):
+        sl = jax.lax.dynamic_slice_in_dim(ext, a * cin, k * cin, 1)
+        t = jnp.dot(sl.reshape(m * k, cin), wcat[a, kx_idx],
+                    preferred_element_type=jnp.float32)
+        acc = t if acc is None else acc + t
+    return acc.reshape(m, k, co3)
 
 
-def _z_side_planes(x6, ts, window, miss):
-    """The two out-of-chunk input planes every tile's z-edge rows see
-    (abs z = z0 - 1 from the ZM side, z0 + tz from the ZP side), WITH
-    their xy-halo rings — assembled DIRECTLY from the z-side neighbors'
-    exports (z-face, 4 zx/zy edges, 4 corners each), so a diagonal
-    contribution never relays through a possibly-absent face tile.
-    Returns (zm (T1, ty+2, tx+2, C), zp, miss)."""
-    t1, tz, ty, tx, c = x6.shape
-    planes = {"t": x6[:, tz - 1], "b": x6[:, 0]}     # (T1, ty, tx, C)
-    out = []
-    for side, dz in (("t", -1), ("b", 1)):
-        p = planes[side]
-        e = {
-            "core": p.reshape(t1, -1),
-            "xlo": p[:, :, 0, :].reshape(t1, -1),
-            "xhi": p[:, :, tx - 1, :].reshape(t1, -1),
-            "ylo": p[:, 0, :, :].reshape(t1, -1),
-            "yhi": p[:, ty - 1, :, :].reshape(t1, -1),
-            "c00": p[:, 0, 0, :].reshape(t1, -1),
-            "c0x": p[:, 0, tx - 1, :].reshape(t1, -1),
-            "cx0": p[:, ty - 1, 0, :].reshape(t1, -1),
-            "cxx": p[:, ty - 1, tx - 1, :].reshape(t1, -1),
-        }
+def _corr_row(ext, wcat, k, cin, ky_idx):
+    """Correction for a missing input ROW (corner cells INCLUDED in ext):
+    (M, k, 3Co) = sum_b ext[j+b] @ wcat[ky_idx, b]."""
+    m = ext.shape[0]
+    co3 = wcat.shape[-1]
+    acc = None
+    for b in range(3):
+        sl = jax.lax.dynamic_slice_in_dim(ext, b * cin, k * cin, 1)
+        t = jnp.dot(sl.reshape(m * k, cin), wcat[ky_idx, b],
+                    preferred_element_type=jnp.float32)
+        acc = t if acc is None else acc + t
+    return acc.reshape(m, k, co3)
 
-        def g(tag, d, shp, e=e, dz=dz):
-            nonlocal miss
-            o, nm = _og(e[tag], _nbr(ts, (dz,) + d), window)
-            miss = miss + nm
-            return _pad_phantom(o).reshape((t1,) + shp + (c,))
 
-        mid = jnp.concatenate([g("xhi", (0, -1), (ty, 1)),
-                               g("core", (0, 0), (ty, tx)),
-                               g("xlo", (0, 1), (ty, 1))], axis=2)
-        top = jnp.concatenate([g("cxx", (-1, -1), (1, 1)),
-                               g("yhi", (-1, 0), (1, tx)),
-                               g("cx0", (-1, 1), (1, 1))], axis=2)
-        bot = jnp.concatenate([g("c0x", (1, -1), (1, 1)),
-                               g("ylo", (1, 0), (1, tx)),
-                               g("c00", (1, 1), (1, 1))], axis=2)
-        out.append(jnp.concatenate([top, mid, bot], axis=1))
-    return out[0], out[1], miss
+def _edge_corrections(u, strips, wcat, ty, tx, cin):
+    """Add the neighbor-tile contributions a zero-SAME-padded conv missed.
+
+    Disjoint tap partition (out[i,j] = sum in[i+a-1, j+b-1] w[a,b]):
+      row -1 incl. both corners  -> ylo strip, a = 0, windowed over b
+      row ty incl. both corners  -> yhi strip, a = 2
+      col -1 interior rows only  -> xlo strip (zero-extended), b = 0
+      col tx interior rows only  -> xhi strip, b = 2
+    strips: ym_ext/yp_ext (M, (tx+2)C), xm_ext/xp_ext (M, (ty+2)C zero-
+    capped). u (M, ty, tx, 3Co) is updated with static-slice adds."""
+    dt = u.dtype
+    u = u.at[:, 0, :, :].add(
+        _corr_row(strips["ym_ext"], wcat, tx, cin, 0).astype(dt))
+    u = u.at[:, ty - 1, :, :].add(
+        _corr_row(strips["yp_ext"], wcat, tx, cin, 2).astype(dt))
+    u = u.at[:, :, 0, :].add(
+        _corr_col(strips["xm_ext"], wcat, ty, cin, 0).astype(dt))
+    u = u.at[:, :, tx - 1, :].add(
+        _corr_col(strips["xp_ext"], wcat, ty, cin, 2).astype(dt))
+    return u
 
 
 def subm_conv(y: jnp.ndarray, mask: jnp.ndarray, ts: TC.TileSet, tz: int,
@@ -205,6 +178,16 @@ def subm_conv(y: jnp.ndarray, mask: jnp.ndarray, ts: TC.TileSet, tz: int,
     y (N, ty, tx, Cin), N = (T+1)*tz, tz >= 2; mask (N, ty, tx, 1);
     w (27, Cin, Cout) z-major taps (the checkpoint layout). Returns
     (y_out (N, ty, tx, Cout) masked, n_miss telemetry).
+
+    No assembled halo-padded input exists anywhere: the conv runs
+    zero-SAME-padded on the raw state (plus the two z-side neighbor
+    planes appended to the batch), and the neighbor contributions the
+    zero padding hid are added as edge-correction matmuls computed from
+    one-hot-gathered 2D folded exports. Every intermediate is either a
+    proven conv shape, a wide folded 2D array, or a static-slice update
+    — the concat/pad formulations of small-C halo pieces materialize
+    (8,128)-tiled relayouts that cost 100x the conv itself (measured,
+    PERF.md round 3).
     """
     n, ty, tx, cin = y.shape
     t1 = n // tz
@@ -218,18 +201,89 @@ def subm_conv(y: jnp.ndarray, mask: jnp.ndarray, ts: TC.TileSet, tz: int,
     wcat = jnp.concatenate([wk[0], wk[1], wk[2]], axis=-1)  # (3,3,Cin,3Co)
 
     x6 = x.reshape(t1, tz, ty, tx, cin)
-    p, miss = _xy_assemble(x6, ts, window, jnp.int32(0))
-    zm_pl, zp_pl, miss = _z_side_planes(x6, ts, window, miss)
-    p_ext = jnp.concatenate([p, zm_pl, zp_pl], axis=0)   # (N + 2*T1, ...)
+    miss = jnp.int32(0)
+
+    def og(table, d):
+        nonlocal miss
+        out, nm = _og(table, _nbr(ts, d), window)
+        miss = miss + nm
+        return _pad_phantom(out)
+
+    # folded 2D boundary exports of the current features
+    exl = x6[:, :, :, 0, :].reshape(t1, tz * ty * cin)
+    exh = x6[:, :, :, tx - 1, :].reshape(t1, tz * ty * cin)
+    eyl = x6[:, :, 0, :, :].reshape(t1, tz * tx * cin)
+    eyh = x6[:, :, ty - 1, :, :].reshape(t1, tz * tx * cin)
+    c00 = x6[:, :, 0, 0, :].reshape(t1, tz * cin)
+    c0x = x6[:, :, 0, tx - 1, :].reshape(t1, tz * cin)
+    cx0 = x6[:, :, ty - 1, 0, :].reshape(t1, tz * cin)
+    cxx = x6[:, :, ty - 1, tx - 1, :].reshape(t1, tz * cin)
+
+    def per_row(g2d, width):
+        # (T1, tz*width) gathered export -> per-plane-row (N, width)
+        return g2d.reshape(t1, tz, width).reshape(n, width)
+
+    zc = ((0, 0), (cin, cin))
+    main_strips = {
+        "ym_ext": jnp.concatenate(
+            [per_row(og(cxx, (0, -1, -1)), cin),
+             per_row(og(eyh, (0, -1, 0)), tx * cin),
+             per_row(og(cx0, (0, -1, 1)), cin)], axis=-1),
+        "yp_ext": jnp.concatenate(
+            [per_row(og(c0x, (0, 1, -1)), cin),
+             per_row(og(eyl, (0, 1, 0)), tx * cin),
+             per_row(og(c00, (0, 1, 1)), cin)], axis=-1),
+        "xm_ext": jnp.pad(per_row(og(exh, (0, 0, -1)), ty * cin), zc),
+        "xp_ext": jnp.pad(per_row(og(exl, (0, 0, 1)), ty * cin), zc),
+    }
+
+    # z-side neighbor planes (abs z = z0 - 1 and z0 + tz) with their own
+    # edge corrections from the z-diagonal neighbors — appended to the
+    # conv batch so one conv call serves all three
+    zt = x6[:, tz - 1].reshape(t1, ty * tx * cin)
+    zb = x6[:, 0].reshape(t1, ty * tx * cin)
+    zt_exl = x6[:, tz - 1, :, 0, :].reshape(t1, ty * cin)
+    zt_exh = x6[:, tz - 1, :, tx - 1, :].reshape(t1, ty * cin)
+    zt_eyl = x6[:, tz - 1, 0, :, :].reshape(t1, tx * cin)
+    zt_eyh = x6[:, tz - 1, ty - 1, :, :].reshape(t1, tx * cin)
+    zt_c = [x6[:, tz - 1, a, b, :] for a, b in
+            ((0, 0), (0, tx - 1), (ty - 1, 0), (ty - 1, tx - 1))]
+    zb_exl = x6[:, 0, :, 0, :].reshape(t1, ty * cin)
+    zb_exh = x6[:, 0, :, tx - 1, :].reshape(t1, ty * cin)
+    zb_eyl = x6[:, 0, 0, :, :].reshape(t1, tx * cin)
+    zb_eyh = x6[:, 0, ty - 1, :, :].reshape(t1, tx * cin)
+    zb_c = [x6[:, 0, a, b, :] for a, b in
+            ((0, 0), (0, tx - 1), (ty - 1, 0), (ty - 1, tx - 1))]
+
+    def zside(core, ex_l, ex_h, ey_l, ey_h, cs, dz):
+        plane = og(core, (dz, 0, 0)).reshape(t1 + 0, ty, tx, cin)
+        strips = {
+            "ym_ext": jnp.concatenate(
+                [og(cs[3], (dz, -1, -1)), og(ey_h, (dz, -1, 0)),
+                 og(cs[2], (dz, -1, 1))], axis=-1),
+            "yp_ext": jnp.concatenate(
+                [og(cs[1], (dz, 1, -1)), og(ey_l, (dz, 1, 0)),
+                 og(cs[0], (dz, 1, 1))], axis=-1),
+            "xm_ext": jnp.pad(og(ex_h, (dz, 0, -1)), zc),
+            "xp_ext": jnp.pad(og(ex_l, (dz, 0, 1)), zc),
+        }
+        return plane, strips
+
+    zm_plane, zm_strips = zside(zt, zt_exl, zt_exh, zt_eyl, zt_eyh, zt_c, -1)
+    zp_plane, zp_strips = zside(zb, zb_exl, zb_exh, zb_eyl, zb_eyh, zb_c, 1)
+
+    p_ext = jnp.concatenate([x, zm_plane, zp_plane], axis=0)
     u_ext = jax.lax.conv_general_dilated(
-        p_ext, wcat, (1, 1), [(0, 0), (0, 0)],
+        p_ext, wcat, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)
     # partial z-sums accumulate in the compute dtype (each 2D conv already
     # accumulated f32 internally); keeping u f32 doubles the GB-scale
     # traffic of the big stages (same policy as the dense z-decomposition)
     u_ext = u_ext.astype(x.dtype)
-    u, u_zm, u_zp = u_ext[:n], u_ext[n:n + t1], u_ext[n + t1:]
+    u = _edge_corrections(u_ext[:n], main_strips, wcat, ty, tx, cin)
+    u_zm = _edge_corrections(u_ext[n:n + t1], zm_strips, wcat, ty, tx, cin)
+    u_zp = _edge_corrections(u_ext[n + t1:], zp_strips, wcat, ty, tx, cin)
 
     # flat z-shift: correct for interior rows zi in [1, tz-2]; tile z-edge
     # rows take their out-of-chunk term from the z-side plane convs

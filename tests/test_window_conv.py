@@ -180,3 +180,57 @@ def test_residual_actually_fires(rng):
     _, _, plan = make_subm_plan(fj * valid[:, None], cj, grid,
                                 block=16, window=16, resid_budget=512)
     assert int(plan.n_resid) > 0
+
+
+def test_grad_matches_gather(rng):
+    """jax.grad through the window engine (custom_vjp: fast forward,
+    reference-vjp backward — VERDICT r2 #2) equals grad through the
+    gather engine."""
+    from sparse2dense_tpu.ops.sparse_conv import (
+        build_index_grid, gather_conv, subm_neighbor_table)
+    from sparse2dense_tpu.ops import window_conv as WC
+
+    grid = (6, 20, 20)
+    d, h, w_ = grid
+    lin = rng.choice(d * h * w_, size=250, replace=False)
+    z, rem = lin // (h * w_), lin % (h * w_)
+    coords = np.stack([z, rem // w_, rem % w_], -1).astype(np.int32)
+    feats = rng.randn(250, 8).astype(np.float32)
+    feats = np.pad(feats, ((0, 6), (0, 0)))
+    coords = np.pad(coords, ((0, 6), (0, 0)), constant_values=-1)
+    fj, cj = jnp.asarray(feats), jnp.asarray(coords)
+    w = jnp.asarray(rng.randn(27, 8, 8).astype(np.float32)) * 0.2
+
+    fj_s, cj_s, linj = WC.sort_rows(fj, cj, grid)
+    plan = WC.make_subm_plan_presorted(linj, cj_s, grid, window=128,
+                                       resid_budget=256)
+    wd = WC.taps_zyx_to_dyx(w)
+
+    valid = jnp.all(cj_s >= 0, axis=-1)
+
+    # both engines CONTRACT that padded rows are zero (enforced upstream
+    # by SparseTensor.masked() / the readers); apply the mask inside the
+    # loss so the comparison covers only contract-valid inputs
+    def loss_window(f, wd):
+        out = WC.window_conv(f * valid[:, None], plan, wd)
+        return jnp.sum(out ** 2)
+
+    idx = build_index_grid(cj_s, valid, grid)
+    nbr = subm_neighbor_table(cj_s, valid, idx, grid)
+
+    def loss_gather(f, w):
+        out = gather_conv(f * valid[:, None], nbr, w) * valid[:, None]
+        return jnp.sum(out ** 2)
+
+    gw = jax.grad(loss_window, argnums=(0, 1))(fj_s, wd)
+    gg = jax.grad(loss_gather, argnums=(0, 1))(fj_s, w)
+    np.testing.assert_allclose(np.asarray(gw[0]), np.asarray(gg[0]),
+                               rtol=1e-4, atol=1e-4)
+    # weight grads come back in (dy,dx,dz) tap order; dL/dw = dL/dwd
+    # indexed by the inverse of the zyx->dyx permutation
+    perm = np.asarray(WC.taps_zyx_to_dyx(
+        jnp.arange(27, dtype=jnp.float32)[:, None, None]))[:, 0, 0].astype(int)
+    inv = np.empty(27, int)
+    inv[perm] = np.arange(27)
+    gw_w = np.asarray(gw[1])[inv]
+    np.testing.assert_allclose(gw_w, np.asarray(gg[1]), rtol=1e-4, atol=1e-4)
