@@ -123,17 +123,11 @@ def bench_voxelnet_s2d():
             "voxelnet", "waymo_centerpoint_voxelnet_3x_distill_interval_5.py")
     )
     cfg.S_model["bbox_head"]["init_bias"] = -6.0
-    cfg.S_model["backbone"]["engine"] = os.environ.get("S2D_ENGINE", "window")
-    # budgets are the DOWNSAMPLE OUTPUT row counts (conv2..extra). Strided
-    # sparse convs DILATE the active set (~2x at conv2 on LiDAR-like
-    # scenes), so conv2's budget exceeds the 150k input budget; stages from
-    # ``dense_from_stage`` run dense (masked bf16 convs) and ignore theirs.
-    # At the dilated occupancies (>=2.5% of the grid from conv2 on) the
-    # MXU-dense formulation beats any sparse one, so only conv1 + down1
-    # stay on the sparse window engine.
-    cfg.S_model["backbone"]["stage_budgets"] = (300000, 210000, 90000, 48000)
-    cfg.S_model["backbone"]["dense_from_stage"] = 1
-    cfg.S_model["backbone"]["dense_compute_dtype"] = "bfloat16"
+    # engine/budget/dtype settings ship IN the config (zoo.py builders) —
+    # the bench runs the user-facing configuration unmodified; S2D_ENGINE
+    # only exists for engine A/B experiments
+    if os.environ.get("S2D_ENGINE"):
+        cfg.S_model["backbone"]["engine"] = os.environ["S2D_ENGINE"]
     model = build_detector(cfg.S_model, test_cfg=cfg.test_cfg,
                            voxel_generator=cfg.voxel_generator)
     batch = make_batch(cfg, 1, max_voxels=150000, n_points=170000,

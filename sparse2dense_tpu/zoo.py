@@ -62,7 +62,15 @@ def _voxelnet_model(tasks, dataset="waymo", student=False, head_extra=None):
         type="KD_VoxelNet" if student else "VoxelNet",
         pretrained=None,
         reader=dict(type="VoxelFeatureExtractorV3", num_input_features=5),
-        backbone=dict(type="SpMiddleResNetFHD", num_input_features=5, ds_factor=8),
+        # TPU engine settings ARE the benched configuration (bench.py runs
+        # the config unmodified): windowed one-hot Pallas engine for the
+        # conv1 stage, z-packed masked-dense bf16 from conv2 on; the
+        # conv2 row budget covers the measured dilated active set (~305k
+        # at 150k input voxels) so nothing truncates. See PERF.md.
+        backbone=dict(type="SpMiddleResNetFHD", num_input_features=5,
+                      ds_factor=8, engine="window", dense_from_stage=1,
+                      dense_compute_dtype="bfloat16",
+                      stage_budgets=(320000, 210000, 90000, 48000)),
         neck=dict(
             type="S2D_RPN" if student else "RPN",
             layer_nums=[5, 5], ds_layer_strides=[1, 2], ds_num_filters=[128, 256],

@@ -9,7 +9,11 @@ produce the same config namespace as the same-named reference file
 - path spelling: the reference mixes ``../data/waymo`` / ``../data/Waymo``;
   comparison normalizes case and leading ``../``;
 - ``work_dir`` (reference computes it from __file__);
-- box-coder objects are compared by class name + attributes.
+- box-coder objects are compared by class name + attributes;
+- TPU engine keys the zoo ADDS to backbone dicts (engine, stage_budgets,
+  dense_from_stage, dense_compute_dtype, win_window, tile_*): these are the
+  shipped performance configuration (VERDICT r2 #3 — the benched settings
+  live in the config, not in bench.py) and have no reference counterpart.
 
 This is the in-repo-zoo guarantee VERDICT.md round 1 asked for: the zoo lives
 in configs/, and this test pins it to the reference field by field.
@@ -33,6 +37,10 @@ ZOO = sorted(
 )
 
 DROP_TOP = {"device_ids", "dist_params", "work_dir"}
+# TPU-native perf keys the zoo ships inside backbone dicts (documented above)
+TPU_BACKBONE_KEYS = {"engine", "stage_budgets", "dense_from_stage",
+                     "dense_compute_dtype", "win_window", "tile_size",
+                     "tile_tz", "tile_budgets"}
 PATH_KEYS = {"root_path", "info_path", "ann_file", "db_info_path",
              "train_anno", "val_anno", "test_anno", "data_root"}
 
@@ -66,6 +74,8 @@ def _diff(a, b, prefix=""):
     out = []
     if isinstance(a, dict) and isinstance(b, dict):
         for k in sorted(set(a) | set(b)):
+            if k in TPU_BACKBONE_KEYS and k not in b:
+                continue  # zoo-only TPU perf key (see module docstring)
             if k not in a:
                 out.append(f"{prefix}.{k}: only in reference = {b[k]!r}")
             elif k not in b:
