@@ -80,7 +80,7 @@ def make_ts_train_step(
         def loss_fn(params):
             out, mutated = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch, train=True, mutable=["batch_stats"],
+                batch, train=True, mutable=["batch_stats", "telemetry"],
             )
             s_preds = out["preds"]
             task_loss, logs = student.loss(s_preds, batch)
@@ -141,15 +141,20 @@ def make_ts_train_step(
                     batch["hm"][0], batch["ind"][0], batch["mask"][0],
                     batch["cat"][0],
                 )
-            return total, (logs, mutated["batch_stats"])
+            return total, (logs, mutated["batch_stats"],
+                           mutated.get("telemetry", {}))
 
-        (loss, (logs, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (logs, new_bs, telem)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         metrics = dict(logs)
         metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)
+        # sparse-engine budget-overflow / halo-miss counters (see
+        # train_state.make_train_step)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(telem):
+            name = "/".join(getattr(k, "key", str(k)) for k in path)
+            metrics[f"telemetry/{name}"] = jnp.sum(leaf)
         return state, metrics
 
     return ts_step

@@ -53,18 +53,25 @@ def make_train_step(model):
                 {"params": params, "batch_stats": state.batch_stats},
                 batch,
                 train=True,
-                mutable=["batch_stats"],
+                mutable=["batch_stats", "telemetry"],
             )
             loss, logs = model.loss(preds, batch)
-            return loss, (logs, mutated["batch_stats"])
+            return loss, (logs, mutated["batch_stats"],
+                          mutated.get("telemetry", {}))
 
-        (loss, (logs, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (logs, new_bs, telem)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         metrics = dict(logs)
         metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)
+        # sparse-engine budget-overflow / halo-miss counters (sowed by the
+        # backbones): a mis-sized budget must show in the logs, never
+        # silently in accuracy (VERDICT r2 weak #1)
+        flat = jax.tree_util.tree_leaves_with_path(telem)
+        for path, leaf in flat:
+            name = "/".join(getattr(k, "key", str(k)) for k in path)
+            metrics[f"telemetry/{name}"] = jax.numpy.sum(leaf)
         return state, metrics
 
     return train_step

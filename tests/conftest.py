@@ -13,9 +13,17 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache_cpu")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+try:  # persistent compile cache: a cold CI box warms up across runs
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
