@@ -25,6 +25,15 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _pet(x):
+    """preferred_element_type for MXU ops: f32 outputs for f32 inputs; for
+    bf16 inputs leave the output bf16 (the MXU accumulates f32 internally
+    either way, and callers cast right after) — requesting f32 outputs from
+    bf16 operands breaks the AD transpose (dtype-mismatched cotangents)."""
+    import jax.numpy as _jnp
+    return _jnp.float32 if x.dtype == _jnp.float32 else None
 from flax import linen as nn
 
 from ...ops.sparse_conv import (
@@ -91,7 +100,7 @@ def _conv3d_zdecomp(x, wk, stride, pad, compute_dtype=None):
             planes.reshape((bsz * d_out,) + planes.shape[2:]),
             wk[iz], (sy, sx), pyx,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_pet(planes),
         ).astype(acc_dtype)
         y = yz if y is None else y + yz
     return y.reshape((bsz, d_out) + y.shape[1:])
@@ -114,7 +123,7 @@ def _conv3d_zpack(x, wk, compute_dtype=None):
     u = jax.lax.conv_general_dilated(
         x.reshape((bsz * d,) + x.shape[2:]), wcat, (1, 1),
         [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_pet(x),
     ).astype(acc_dtype)
     u = u.reshape(bsz, d, hh, ww, 3 * co)
     y = u[:, :, :, :, co:2 * co]
@@ -247,6 +256,21 @@ class DenseDownsample(nn.Module):
         y = BatchNorm(axis_name=self.axis_name, name="norm")(
             y, mask=new_mask, use_running_average=not train)
         return nn.relu(y) * new_mask, new_mask
+
+
+def _dense_mods(train: bool, remat: bool):
+    """The dense-stage module classes, rematerialized under training.
+
+    The masked-dense stages hold multi-GB activations on the Waymo grids
+    (conv2: 1.1-2.3 GB per conv at bf16); saving them all for backward
+    overflows HBM in the TS distillation step (measured 22.6 GB needed).
+    jax.checkpoint recomputes them in the backward instead (VERDICT r2 #8).
+    Parameter names are unchanged by nn.remat."""
+    if train and remat:
+        return (nn.remat(DenseSubMStage, static_argnums=(3,)),
+                nn.remat(DenseBasicBlock, static_argnums=(3,)),
+                nn.remat(DenseDownsample, static_argnums=(3,)))
+    return DenseSubMStage, DenseBasicBlock, DenseDownsample
 
 
 class ColSubMStage(nn.Module):
@@ -746,6 +770,9 @@ class SpMiddleResNetFHD(nn.Module):
     # conv compute dtype of the dense stages ("bfloat16" halves MXU time;
     # accumulation stays f32); None keeps full f32
     dense_compute_dtype: Optional[str] = None
+    # rematerialize dense-stage activations in the backward (multi-GB on
+    # the Waymo grids; without it the TS train step overflows HBM)
+    remat_dense: bool = True
     norm_cfg: Optional[dict] = None
     name_tag: str = "SpMiddleResNetFHD"
     is_student: bool = False
@@ -763,6 +790,7 @@ class SpMiddleResNetFHD(nn.Module):
         if self.engine == "tile":
             return self._tile_forward(voxel_features, coords, train)
         an = self.axis_name
+        DenseSubMStage_, DenseBasicBlock_, DenseDownsample_ = _dense_mods(train, self.remat_dense)
         valid = jnp.all(coords >= 0, axis=-1)
         x = SparseTensor(voxel_features, coords.astype(jnp.int32), valid).masked()
         v = voxel_features.shape[1]
@@ -782,11 +810,11 @@ class SpMiddleResNetFHD(nn.Module):
 
         if dfs <= 0:
             dense_x, dense_mask = densify(x, grid)
-            dense_x = DenseSubMStage((16,), compute_dtype=self.dense_compute_dtype, axis_name=an, name="conv_input")(
+            dense_x = DenseSubMStage_((16,), compute_dtype=self.dense_compute_dtype, axis_name=an, name="conv_input")(
                 dense_x, dense_mask, train)
-            dense_x = DenseBasicBlock(16, compute_dtype=self.dense_compute_dtype, axis_name=an, name="conv1_0")(
+            dense_x = DenseBasicBlock_(16, compute_dtype=self.dense_compute_dtype, axis_name=an, name="conv1_0")(
                 dense_x, dense_mask, train)
-            dense_x = DenseBasicBlock(16, compute_dtype=self.dense_compute_dtype, axis_name=an, name="conv1_1")(
+            dense_x = DenseBasicBlock_(16, compute_dtype=self.dense_compute_dtype, axis_name=an, name="conv1_1")(
                 dense_x, dense_mask, train)
             multi_scale["conv1"] = (dense_x, grid)
         else:
@@ -809,7 +837,7 @@ class SpMiddleResNetFHD(nn.Module):
                     # coarser output grid, not the big input grid
                     dense_x, dense_mask = densify(x, grid)
             else:
-                dense_x, dense_mask = DenseDownsample(
+                dense_x, dense_mask = DenseDownsample_(
                     ch, stride, pad, ksize=ksz, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_down",
                 )(dense_x, dense_mask, train)
                 grid = conv_out_grid(grid, stride, pad, ksz)
@@ -820,9 +848,9 @@ class SpMiddleResNetFHD(nn.Module):
                 x = SparseBasicBlock(ch, axis_name=an, name=f"{name}_1")(x, nbr, train)
                 multi_scale[name] = (x, grid)
             else:
-                dense_x = DenseBasicBlock(ch, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_0")(
+                dense_x = DenseBasicBlock_(ch, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_0")(
                     dense_x, dense_mask, train)
-                dense_x = DenseBasicBlock(ch, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_1")(
+                dense_x = DenseBasicBlock_(ch, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_1")(
                     dense_x, dense_mask, train)
                 multi_scale[name] = (dense_x, grid)
             if self.stop_after == name:
@@ -838,7 +866,7 @@ class SpMiddleResNetFHD(nn.Module):
         else:
             if dense_x is None:
                 dense_x, dense_mask = densify(x, grid)
-            dense_x, dense_mask = DenseDownsample(
+            dense_x, dense_mask = DenseDownsample_(
                 128, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1), compute_dtype=self.dense_compute_dtype,
                 axis_name=an, name="extra_conv",
             )(dense_x, dense_mask, train)
@@ -869,6 +897,7 @@ class SpMiddleResNetFHD(nn.Module):
         from ...ops import tile_planes as TP
 
         an = self.axis_name
+        DenseSubMStage_, DenseBasicBlock_, DenseDownsample_ = _dense_mods(train, self.remat_dense)
         cd = self.dense_compute_dtype
         coords = coords.astype(jnp.int32)
         valid0 = jnp.all(coords >= 0, axis=-1)
@@ -910,11 +939,11 @@ class SpMiddleResNetFHD(nn.Module):
         dense_x = dense_mask = None
         if dfs <= 0:
             dense_x, dense_mask = densify_tiles(p, mask, ts, grid, tzs[0])
-            dense_x = DenseSubMStage((16,), compute_dtype=cd, axis_name=an,
+            dense_x = DenseSubMStage_((16,), compute_dtype=cd, axis_name=an,
                                      name="conv_input")(dense_x, dense_mask, train)
-            dense_x = DenseBasicBlock(16, compute_dtype=cd, axis_name=an,
+            dense_x = DenseBasicBlock_(16, compute_dtype=cd, axis_name=an,
                                       name="conv1_0")(dense_x, dense_mask, train)
-            dense_x = DenseBasicBlock(16, compute_dtype=cd, axis_name=an,
+            dense_x = DenseBasicBlock_(16, compute_dtype=cd, axis_name=an,
                                       name="conv1_1")(dense_x, dense_mask, train)
             multi_scale = {"conv1": (dense_x, grid)}
         else:
@@ -943,7 +972,7 @@ class SpMiddleResNetFHD(nn.Module):
                     dense_x, dense_mask = densify_tiles(p, mask, ts, grid,
                                                         tzs[k])
             else:
-                dense_x, dense_mask = DenseDownsample(
+                dense_x, dense_mask = DenseDownsample_(
                     ch, (2, 2, 2), pad, ksize=(3, 3, 3), compute_dtype=cd,
                     axis_name=an, name=f"{name}_down")(dense_x, dense_mask, train)
                 grid = conv_out_grid(grid, (2, 2, 2), pad, (3, 3, 3))
@@ -954,9 +983,9 @@ class SpMiddleResNetFHD(nn.Module):
                                    name=f"{name}_1")(p, mask, ts, train)
                 multi_scale[name] = ((p, mask, ts), grid)
             else:
-                dense_x = DenseBasicBlock(ch, compute_dtype=cd, axis_name=an,
+                dense_x = DenseBasicBlock_(ch, compute_dtype=cd, axis_name=an,
                                           name=f"{name}_0")(dense_x, dense_mask, train)
-                dense_x = DenseBasicBlock(ch, compute_dtype=cd, axis_name=an,
+                dense_x = DenseBasicBlock_(ch, compute_dtype=cd, axis_name=an,
                                           name=f"{name}_1")(dense_x, dense_mask, train)
                 multi_scale[name] = (dense_x, grid)
             if self.stop_after == name:
@@ -973,7 +1002,7 @@ class SpMiddleResNetFHD(nn.Module):
         else:
             if dense_x is None:
                 dense_x, dense_mask = densify_tiles(p, mask, ts, grid, tzs[3])
-            dense_x, dense_mask = DenseDownsample(
+            dense_x, dense_mask = DenseDownsample_(
                 128, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1), compute_dtype=cd,
                 axis_name=an, name="extra_conv")(dense_x, dense_mask, train)
             bev = dense_to_bev(dense_x.astype(voxel_features.dtype))
@@ -990,6 +1019,7 @@ class SpMiddleResNetFHD(nn.Module):
         from ...ops import window_conv as WC
 
         an = self.axis_name
+        DenseSubMStage_, DenseBasicBlock_, DenseDownsample_ = _dense_mods(train, self.remat_dense)
         coords = coords.astype(jnp.int32)
         valid0 = jnp.all(coords >= 0, axis=-1)
         feats = voxel_features * valid0[..., None].astype(voxel_features.dtype)
@@ -1012,11 +1042,11 @@ class SpMiddleResNetFHD(nn.Module):
         if dfs <= 0:
             dense_x, dense_mask = self._dense_stream(
                 SparseTensor(feats, coords, valid), grid)
-            dense_x = DenseSubMStage((16,), compute_dtype=self.dense_compute_dtype, axis_name=an, name="conv_input")(
+            dense_x = DenseSubMStage_((16,), compute_dtype=self.dense_compute_dtype, axis_name=an, name="conv_input")(
                 dense_x, dense_mask, train)
-            dense_x = DenseBasicBlock(16, compute_dtype=self.dense_compute_dtype, axis_name=an, name="conv1_0")(
+            dense_x = DenseBasicBlock_(16, compute_dtype=self.dense_compute_dtype, axis_name=an, name="conv1_0")(
                 dense_x, dense_mask, train)
-            dense_x = DenseBasicBlock(16, compute_dtype=self.dense_compute_dtype, axis_name=an, name="conv1_1")(
+            dense_x = DenseBasicBlock_(16, compute_dtype=self.dense_compute_dtype, axis_name=an, name="conv1_1")(
                 dense_x, dense_mask, train)
             multi_scale = {"conv1": (dense_x, grid)}
         else:
@@ -1047,7 +1077,7 @@ class SpMiddleResNetFHD(nn.Module):
                     dense_x, dense_mask = self._dense_stream(
                         SparseTensor(feats, coords, valid), grid)
             else:
-                dense_x, dense_mask = DenseDownsample(
+                dense_x, dense_mask = DenseDownsample_(
                     ch, stride, pad, ksize=ksz, compute_dtype=self.dense_compute_dtype, axis_name=an,
                     name=f"{name}_down",
                 )(dense_x, dense_mask, train)
@@ -1060,9 +1090,9 @@ class SpMiddleResNetFHD(nn.Module):
                     feats, valid, plan, train)
                 multi_scale[name] = (SparseTensor(feats, coords, valid), grid)
             else:
-                dense_x = DenseBasicBlock(ch, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_0")(
+                dense_x = DenseBasicBlock_(ch, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_0")(
                     dense_x, dense_mask, train)
-                dense_x = DenseBasicBlock(ch, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_1")(
+                dense_x = DenseBasicBlock_(ch, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_1")(
                     dense_x, dense_mask, train)
                 multi_scale[name] = (dense_x, grid)
             if self.stop_after == name:
@@ -1079,7 +1109,7 @@ class SpMiddleResNetFHD(nn.Module):
             if dense_x is None:
                 dense_x, dense_mask = self._dense_stream(
                     SparseTensor(feats, coords, valid), grid)
-            dense_x, dense_mask = DenseDownsample(
+            dense_x, dense_mask = DenseDownsample_(
                 128, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1), compute_dtype=self.dense_compute_dtype,
                 axis_name=an, name="extra_conv",
             )(dense_x, dense_mask, train)
@@ -1099,6 +1129,7 @@ class SpMiddleResNetFHD(nn.Module):
         )
 
         an = self.axis_name
+        DenseSubMStage_, DenseBasicBlock_, DenseDownsample_ = _dense_mods(train, self.remat_dense)
         valid = jnp.all(coords >= 0, axis=-1)
         v = voxel_features.shape[1]
         dfs = self.dense_from_stage if self.dense_from_stage is not None else 99
@@ -1136,7 +1167,7 @@ class SpMiddleResNetFHD(nn.Module):
                     tbl = build_col_table(cols, cvalid, hw)
                     nbr = col_neighbor_table(cols, cvalid, tbl, hw)
             else:
-                dense_x, dense_mask = DenseDownsample(
+                dense_x, dense_mask = DenseDownsample_(
                     ch, (2, 2, 2), (z_pad, 1, 1), ksize=(3, 3, 3),
                     compute_dtype=self.dense_compute_dtype, axis_name=an,
                     name=f"{name}_down",
@@ -1147,15 +1178,15 @@ class SpMiddleResNetFHD(nn.Module):
                 cf = ColBasicBlock(ch, axis_name=an, name=f"{name}_1")(cf, zm, nbr, train)
                 multi_scale[name] = (cf, grid)
             else:
-                dense_x = DenseBasicBlock(ch, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_0")(
+                dense_x = DenseBasicBlock_(ch, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_0")(
                     dense_x, dense_mask, train)
-                dense_x = DenseBasicBlock(ch, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_1")(
+                dense_x = DenseBasicBlock_(ch, compute_dtype=self.dense_compute_dtype, axis_name=an, name=f"{name}_1")(
                     dense_x, dense_mask, train)
                 multi_scale[name] = (dense_x, grid)
 
         if dense_x is None:  # dfs == 4: densify right before the extra conv
             dense_x, dense_mask = columns_to_dense(cf, cols, cvalid, zm, grid)
-        dense_x, dense_mask = DenseDownsample(
+        dense_x, dense_mask = DenseDownsample_(
             128, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1), compute_dtype=self.dense_compute_dtype,
             axis_name=an, name="extra_conv",
         )(dense_x, dense_mask, train)
@@ -1177,6 +1208,7 @@ class SpMiddleFHD(nn.Module):
     engine: str = "gather"
     win_window: int = 384   # rank-window size of the 'window' engine
     dense_compute_dtype: Optional[str] = None
+    remat_dense: bool = True
     norm_cfg: Optional[dict] = None
     name_tag: str = "SpMiddleFHD"
     axis_name: Optional[str] = None
@@ -1186,6 +1218,7 @@ class SpMiddleFHD(nn.Module):
         if self.engine == "window":
             return self._window_forward(voxel_features, coords, train)
         an = self.axis_name
+        DenseSubMStage_, DenseBasicBlock_, DenseDownsample_ = _dense_mods(train, self.remat_dense)
         valid = jnp.all(coords >= 0, axis=-1)
         x = SparseTensor(voxel_features, coords.astype(jnp.int32), valid).masked()
         v = voxel_features.shape[1]
@@ -1213,7 +1246,7 @@ class SpMiddleFHD(nn.Module):
                     if k == dfs:  # transition after the (cheaper) sparse down
                         dense_x, dense_mask = densify(x, grid)
                 else:
-                    dense_x, dense_mask = DenseDownsample(
+                    dense_x, dense_mask = DenseDownsample_(
                         chans[0], stride, pad, ksize=ksz, compute_dtype=self.dense_compute_dtype, axis_name=an, name=down,
                     )(dense_x, dense_mask, train)
                     grid = conv_out_grid(grid, stride, pad, ksz)
@@ -1223,7 +1256,7 @@ class SpMiddleFHD(nn.Module):
                 x = SubMStage(chans, axis_name=an, name=name)(x, nbr, train)
                 conv4 = (x, grid)
             else:
-                dense_x = DenseSubMStage(
+                dense_x = DenseSubMStage_(
                     chans, compute_dtype=self.dense_compute_dtype,
                     axis_name=an, name=name)(dense_x, dense_mask, train)
                 conv4 = (dense_x, grid)
@@ -1237,7 +1270,7 @@ class SpMiddleFHD(nn.Module):
         else:
             if dense_x is None:
                 dense_x, dense_mask = densify(x, grid)
-            dense_x, dense_mask = DenseDownsample(
+            dense_x, dense_mask = DenseDownsample_(
                 64, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1), compute_dtype=self.dense_compute_dtype,
                 axis_name=an, name="extra_conv",
             )(dense_x, dense_mask, train)
@@ -1250,6 +1283,7 @@ class SpMiddleFHD(nn.Module):
         from ...ops import window_conv as WC
 
         an = self.axis_name
+        DenseSubMStage_, DenseBasicBlock_, DenseDownsample_ = _dense_mods(train, self.remat_dense)
         coords = coords.astype(jnp.int32)
         valid0 = jnp.all(coords >= 0, axis=-1)
         feats = voxel_features * valid0[..., None].astype(voxel_features.dtype)

@@ -30,6 +30,15 @@ import jax
 import jax.numpy as jnp
 
 
+def _pet(x):
+    """preferred_element_type for MXU ops: f32 outputs for f32 inputs; for
+    bf16 inputs leave the output bf16 (the MXU accumulates f32 internally
+    either way, and callers cast right after) — requesting f32 outputs from
+    bf16 operands breaks the AD transpose (dtype-mismatched cotangents)."""
+    import jax.numpy as _jnp
+    return _jnp.float32 if x.dtype == _jnp.float32 else None
+
+
 def onehot_gather(table: jnp.ndarray, idx: jnp.ndarray, window: int,
                   block: int = 128,
                   compute_dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -60,7 +69,7 @@ def onehot_gather(table: jnp.ndarray, idx: jnp.ndarray, window: int,
 
     def blockfn(h_b, ws_b):
         win = jax.lax.dynamic_slice_in_dim(tb, ws_b, window, 0)  # (W, D)
-        return jnp.dot(h_b, win, preferred_element_type=jnp.float32)
+        return jnp.dot(h_b, win, preferred_element_type=_pet(win))
 
     out = jax.vmap(blockfn)(hit, ws)            # (nb, block, D) f32
     out = out.reshape(m, d).astype(table.dtype)

@@ -39,6 +39,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def _pet(x):
+    """preferred_element_type for MXU ops: f32 outputs for f32 inputs; for
+    bf16 inputs leave the output bf16 (the MXU accumulates f32 internally
+    either way, and callers cast right after) — requesting f32 outputs from
+    bf16 operands breaks the AD transpose (dtype-mismatched cotangents)."""
+    import jax.numpy as _jnp
+    return _jnp.float32 if x.dtype == _jnp.float32 else None
+
 from .onehot_gather import onehot_gather_exact
 from . import tile_conv as TC
 
@@ -129,7 +138,7 @@ def _corr_col(ext, wcat, k, cin, kx_idx):
     for a in range(3):
         sl = jax.lax.dynamic_slice_in_dim(ext, a * cin, k * cin, 1)
         t = jnp.dot(sl.reshape(m * k, cin), wcat[a, kx_idx],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=_pet(ext))
         acc = t if acc is None else acc + t
     return acc.reshape(m, k, co3)
 
@@ -143,7 +152,7 @@ def _corr_row(ext, wcat, k, cin, ky_idx):
     for b in range(3):
         sl = jax.lax.dynamic_slice_in_dim(ext, b * cin, k * cin, 1)
         t = jnp.dot(sl.reshape(m * k, cin), wcat[ky_idx, b],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=_pet(ext))
         acc = t if acc is None else acc + t
     return acc.reshape(m, k, co3)
 
@@ -276,7 +285,7 @@ def subm_conv(y: jnp.ndarray, mask: jnp.ndarray, ts: TC.TileSet, tz: int,
     u_ext = jax.lax.conv_general_dilated(
         p_ext, wcat, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=_pet(p_ext))
     # partial z-sums accumulate in the compute dtype (each 2D conv already
     # accumulated f32 internally); keeping u f32 doubles the GB-scale
     # traffic of the big stages (same policy as the dense z-decomposition)
@@ -323,7 +332,7 @@ def zconv(y: jnp.ndarray, mask: jnp.ndarray, w: jnp.ndarray, d: int, tz: int,
     for iz in range(3):
         zsl = jax.lax.slice_in_dim(x6, iz, iz + 2 * (d2 - 1) + 1, 2, axis=1)
         o = jnp.einsum("tzyxc,cd->tzyxd", zsl, wk[iz],
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=_pet(zsl))
         out = o if out is None else out + o
     out = out.astype(y.dtype)
     m = jax.lax.reduce_window(
@@ -457,7 +466,7 @@ def downsample(y: jnp.ndarray, mask: jnp.ndarray, ts: TC.TileSet,
         o = jax.lax.conv_general_dilated(
             planes, wk[iz], (2, 2), [(0, 0), (0, 0)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=_pet(planes))
         out = o if out is None else out + o
     out = out.reshape(budget_out, tz_out, ty, tx, cout).astype(y.dtype)
 

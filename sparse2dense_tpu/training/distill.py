@@ -52,6 +52,27 @@ def _maxpool2(x):
     )
 
 
+def make_teacher_forward(teacher):
+    """The frozen dense-teacher forward of the TS step as its own function.
+
+    Jitting the teacher separately from the student update halves the HBM
+    peak of full-scale distillation (the fused graph co-schedules the
+    teacher's multi-GB dense activations with the student's fwd+bwd;
+    measured 25.7 GB needed vs 15.75 available at the Waymo grid).
+    Reference flow: det3d/torchie/apis/train.py:343-391."""
+
+    def teacher_forward(t_variables, batch):
+        t_preds, f_d_a, f_d_b = teacher.apply(
+            t_variables, batch, train=False,
+            return_feature=True, return_recon_feature=True,
+        )
+        return (jax.lax.stop_gradient(t_preds),
+                jax.lax.stop_gradient(f_d_a),
+                jax.lax.stop_gradient(f_d_b))
+
+    return teacher_forward
+
+
 def make_ts_train_step(
     teacher,
     student,
@@ -66,16 +87,12 @@ def make_ts_train_step(
     if pcr_weight is None:
         pcr_weight = 1.0 if branch == "centerpoint" else 0.5
 
-    def ts_step(t_variables, state: TrainState, batch):
-        # teacher forward, frozen, eval-mode BN (same call for all branches:
-        # the family differences live in the loss arms below)
-        t_preds, f_d_a, f_d_b = teacher.apply(
-            t_variables, batch, train=False,
-            return_feature=True, return_recon_feature=True,
-        )
-        t_preds = jax.lax.stop_gradient(t_preds)
-        f_d_a = jax.lax.stop_gradient(f_d_a)
-        f_d_b = jax.lax.stop_gradient(f_d_b)
+    teacher_forward = make_teacher_forward(teacher)
+
+    def student_step(t_out, state: TrainState, batch):
+        """Student update given precomputed teacher outputs — jit this and
+        ``make_teacher_forward`` separately to halve the HBM peak."""
+        t_preds, f_d_a, f_d_b = t_out
 
         def loss_fn(params):
             out, mutated = state.apply_fn(
@@ -156,6 +173,13 @@ def make_ts_train_step(
             name = "/".join(getattr(k, "key", str(k)) for k in path)
             metrics[f"telemetry/{name}"] = jnp.sum(leaf)
         return state, metrics
+
+    def ts_step(t_variables, state: TrainState, batch):
+        # fused variant (single jit): fine at small scale / sharded meshes
+        return student_step(teacher_forward(t_variables, batch), state, batch)
+
+    ts_step.teacher_forward = teacher_forward
+    ts_step.student_step = student_step
 
     return ts_step
 
