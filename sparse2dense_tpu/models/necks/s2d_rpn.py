@@ -151,26 +151,37 @@ class S2D_RPN(RPN):
             + ConvBNGelu(c_in, kernel=1, padding=0, axis_name=an, name="fusion_sparse")(x, train)
         )
 
-        # ---- PCR module (train only) ----
+        # ---- PCR module (train only; rematerialized: its narrow-channel
+        # NDHWC conv outputs otherwise persist for the backward in badly
+        # padded layouts — a 1-channel mask map cost 5.4 GB saved) ----
         if train:
-            b, h, w, _ = x.shape
-            gen = ConvBNGelu(640, kernel=1, padding=0, axis_name=an, name="out_conv")(
-                f_s_b, train
-            )
-            # torch view(N,128,5,H,W): 640 channels split (C=128 outer, D=5)
-            gen = gen.reshape(b, h, w, 128, 5)
-            gen = jnp.transpose(gen, (0, 4, 1, 2, 3))  # (B, 5, H, W, 128)
-            gen = Conv3dBNAct(32, axis_name=an, name="generator_1a")(gen, train)
-            gen = ConvT3dBNRelu(32, axis_name=an, name="generator_1b")(gen, train)
-            gen_offset_4 = nn.Conv(3, (1, 1, 1), name="gen_out_4")(gen)
-            gen_mask_4 = nn.Conv(1, (1, 1, 1), name="gen_mask_4")(gen)
-            gen = Conv3dBNAct(16, axis_name=an, name="generator_2a")(gen, train)
-            gen = ConvT3dBNRelu(3, axis_name=an, name="generator_2b")(gen, train)
-            gen_offset_2 = nn.Conv(3, (1, 1, 1), name="gen_out_2")(gen)
-            gen_mask_2 = nn.Conv(1, (1, 1, 1), name="gen_mask_2")(gen)
+            pcr = nn.remat(S2D_RPN._pcr, static_argnums=(3,))
+            (gen_offset_2, gen_mask_2, gen_offset_4, gen_mask_4) = pcr(
+                self, x, f_s_b, train)
         else:
             gen_offset_2 = gen_mask_2 = gen_offset_4 = gen_mask_4 = None
 
         # ---- RPN trunk on the fused feature ----
         out, _ = self.trunk_and_ups(f_s_a, train)
         return out, gen_offset_2, gen_mask_2, gen_offset_4, gen_mask_4, f_s_a, f_s_b
+
+    def _pcr(self, x, f_s_b, train):
+        """PCR generators (reference rpn.py:300-337); parameter names are
+        scoped to the neck itself (method remat, no submodule wrapper)."""
+        an = self.axis_name
+        b, h, w, _ = x.shape
+        gen = ConvBNGelu(640, kernel=1, padding=0, axis_name=an, name="out_conv")(
+            f_s_b, train
+        )
+        # torch view(N,128,5,H,W): 640 channels split (C=128 outer, D=5)
+        gen = gen.reshape(b, h, w, 128, 5)
+        gen = jnp.transpose(gen, (0, 4, 1, 2, 3))  # (B, 5, H, W, 128)
+        gen = Conv3dBNAct(32, axis_name=an, name="generator_1a")(gen, train)
+        gen = ConvT3dBNRelu(32, axis_name=an, name="generator_1b")(gen, train)
+        gen_offset_4 = nn.Conv(3, (1, 1, 1), name="gen_out_4")(gen)
+        gen_mask_4 = nn.Conv(1, (1, 1, 1), name="gen_mask_4")(gen)
+        gen = Conv3dBNAct(16, axis_name=an, name="generator_2a")(gen, train)
+        gen = ConvT3dBNRelu(3, axis_name=an, name="generator_2b")(gen, train)
+        gen_offset_2 = nn.Conv(3, (1, 1, 1), name="gen_out_2")(gen)
+        gen_mask_2 = nn.Conv(1, (1, 1, 1), name="gen_mask_2")(gen)
+        return gen_offset_2, gen_mask_2, gen_offset_4, gen_mask_4
