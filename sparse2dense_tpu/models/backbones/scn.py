@@ -20,7 +20,7 @@ on the gather-GEMM-scatter engine in ops/sparse_conv.py. Design notes:
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -458,6 +458,7 @@ class WinDownsample(nn.Module):
                 self.padding, self.ksize, block=self.block,
                 window=self.window, resid_budget=self.resid_budget)
         )(lin, ol, oc)
+        self.sow("telemetry", "win_resid", jnp.sum(plan.n_resid))
         k = int(np.prod(self.ksize))
         w = self.param(
             "conv_kernel",
@@ -715,6 +716,15 @@ class SparseDownsample(nn.Module):
         return SparseTensor(f, oc, ov).masked(), grid_out
 
 
+def _stage_windows(win_window) -> Tuple[int, int, int, int]:
+    """Per-stage rank-window sizes (conv1, conv2, conv3, conv4+extra) from an
+    int (same everywhere) or a 4-tuple."""
+    if isinstance(win_window, (tuple, list)):
+        assert len(win_window) == 4, win_window
+        return tuple(int(w) for w in win_window)
+    return (int(win_window),) * 4
+
+
 def densify(x: SparseTensor, grid) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """SparseTensor -> (dense (B, D, H, W, C), occupancy mask (B, D, H, W, 1))."""
     dense = jax.vmap(lambda f, c, v: scatter_to_dense(f, c, v, grid))(
@@ -759,7 +769,10 @@ class SpMiddleResNetFHD(nn.Module):
     # "gather" (row GEMM), "column" (z-dense slabs), "window" (one-hot MXU),
     # "tile" (z-chunked BEV-tile block-sparse — the fast trainable engine)
     engine: str = "gather"
-    win_window: int = 384   # rank-window size of the 'window' engine
+    # rank-window size of the 'window' engine: int (all stages) or a
+    # per-stage tuple (conv1, conv2, conv3, conv4+extra) — per-BEV-line
+    # occupancy differs per stage, so the coverage floor does too
+    win_window: Any = 384
     # tile engine geometry: BEV tile (ty, tx), per-stage z-chunk heights
     # (conv1..conv4; each downsample needs 2*tz_out == tz or tz_out >= d_out)
     # and per-stage occupied-tile budgets (overflow is counted, see
@@ -1031,12 +1044,15 @@ class SpMiddleResNetFHD(nn.Module):
         feats, coords, lin = jax.vmap(
             lambda f, c: WC.sort_rows(f, c, grid))(feats, coords)
         valid = lin < WC.MISS
+        wins = _stage_windows(self.win_window)
 
-        def subm_plan(lin, coords, grid, window=self.win_window):
-            return jax.vmap(
+        def subm_plan(lin, coords, grid, window):
+            p = jax.vmap(
                 lambda l, c: WC.make_subm_plan_presorted(l, c, grid,
                                                          window=window)
             )(lin, coords)
+            self.sow("telemetry", "win_resid", jnp.sum(p.n_resid))
+            return p
 
         dense_x = dense_mask = None
         if dfs <= 0:
@@ -1050,7 +1066,7 @@ class SpMiddleResNetFHD(nn.Module):
                 dense_x, dense_mask, train)
             multi_scale = {"conv1": (dense_x, grid)}
         else:
-            plan = subm_plan(lin, coords, grid)
+            plan = subm_plan(lin, coords, grid, wins[0])
             feats = WinSubMStage((16,), axis_name=an, name="conv_input")(
                 feats, valid, plan, train)
             feats = WinBasicBlock(16, axis_name=an, name="conv1_0")(
@@ -1070,7 +1086,7 @@ class SpMiddleResNetFHD(nn.Module):
             if k <= dfs and dense_x is None:
                 feats, coords, lin, valid, grid = WinDownsample(
                     ch, grid, stride, pad, ksize=ksz,
-                    out_budget=budgets[k - 1], window=self.win_window,
+                    out_budget=budgets[k - 1], window=wins[k],
                     axis_name=an, name=f"{name}_down",
                 )(feats, coords, lin, train)
                 if k == dfs:  # densify the coarser output grid
@@ -1083,7 +1099,7 @@ class SpMiddleResNetFHD(nn.Module):
                 )(dense_x, dense_mask, train)
                 grid = conv_out_grid(grid, stride, pad, ksz)
             if dense_x is None:
-                plan = subm_plan(lin, coords, grid)
+                plan = subm_plan(lin, coords, grid, wins[k])
                 feats = WinBasicBlock(ch, axis_name=an, name=f"{name}_0")(
                     feats, valid, plan, train)
                 feats = WinBasicBlock(ch, axis_name=an, name=f"{name}_1")(
@@ -1101,7 +1117,7 @@ class SpMiddleResNetFHD(nn.Module):
         if 4 < dfs:
             feats, coords, lin, valid, g4 = WinDownsample(
                 128, grid, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1),
-                out_budget=budgets[3], window=self.win_window,
+                out_budget=budgets[3], window=wins[3],
                 axis_name=an, name="extra_conv",
             )(feats, coords, lin, train)
             bev = sparse_to_bev(SparseTensor(feats, coords, valid), g4)
@@ -1206,7 +1222,7 @@ class SpMiddleFHD(nn.Module):
     stage_budgets: Optional[Tuple[int, int, int, int]] = None
     dense_from_stage: int = 2
     engine: str = "gather"
-    win_window: int = 384   # rank-window size of the 'window' engine
+    win_window: Any = 384   # int or per-stage 4-tuple (see SpMiddleResNetFHD)
     dense_compute_dtype: Optional[str] = None
     remat_dense: bool = True
     norm_cfg: Optional[dict] = None
@@ -1294,14 +1310,17 @@ class SpMiddleFHD(nn.Module):
         feats, coords, lin = jax.vmap(
             lambda f, c: WC.sort_rows(f, c, grid))(feats, coords)
         valid = lin < WC.MISS
+        wins = _stage_windows(self.win_window)
 
-        def subm_plan(lin, coords, grid):
-            return jax.vmap(
+        def subm_plan(lin, coords, grid, window):
+            p = jax.vmap(
                 lambda l, c: WC.make_subm_plan_presorted(
-                    l, c, grid, window=self.win_window)
+                    l, c, grid, window=window)
             )(lin, coords)
+            self.sow("telemetry", "win_resid", jnp.sum(p.n_resid))
+            return p
 
-        plan = subm_plan(lin, coords, grid)
+        plan = subm_plan(lin, coords, grid, wins[0])
         feats = WinSubMStage((16, 16), axis_name=an, name="subm0")(
             feats, valid, plan, train)
         conv4 = None
@@ -1314,17 +1333,17 @@ class SpMiddleFHD(nn.Module):
         for k, (name, down, chans, stride, pad, ksz) in enumerate(stages, 1):
             feats, coords, lin, valid, grid = WinDownsample(
                 chans[0], grid, stride, pad, ksize=ksz,
-                out_budget=budgets[k - 1], window=self.win_window,
+                out_budget=budgets[k - 1], window=wins[k],
                 axis_name=an, name=down,
             )(feats, coords, lin, train)
-            plan = subm_plan(lin, coords, grid)
+            plan = subm_plan(lin, coords, grid, wins[k])
             feats = WinSubMStage(chans, axis_name=an, name=name)(
                 feats, valid, plan, train)
             conv4 = (SparseTensor(feats, coords, valid), grid)
 
         feats, coords, lin, valid, g4 = WinDownsample(
             64, grid, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1),
-            out_budget=budgets[3], window=self.win_window,
+            out_budget=budgets[3], window=wins[3],
             axis_name=an, name="extra_conv",
         )(feats, coords, lin, train)
         bev = sparse_to_bev(SparseTensor(feats, coords, valid), g4)

@@ -20,9 +20,12 @@ LayerNorm, which is shape-agnostic and TPU-friendly.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..norm import BatchNorm, LayerNorm2d

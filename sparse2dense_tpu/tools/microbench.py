@@ -488,8 +488,147 @@ def bench_window_ref():
 
 
 
+def bench_window_stages():
+    """Per-stage cost of the windowed Pallas engine over the REAL flagship
+    stage chain (active sets derived by actually downsampling a realistic
+    150k-voxel scene): kernel ms/conv per residency mode, plan/active-set
+    prep ms, residual counts. Drives the round-4 dense->sparse decision for
+    conv2..extra (VERDICT r3 #1)."""
+    from ..ops import window_conv as WC
+    from ..ops.pallas.window_kernel import window_pass_pallas
+    from .profile_model import synth_voxels
+
+    rng = np.random.RandomState(0)
+    grid = (41, 1504, 1504)
+    _, coords_np = synth_voxels(150000)
+    coords = jnp.asarray(coords_np[0])
+    valid = jnp.all(coords >= 0, axis=-1)
+    feats0 = jnp.asarray(rng.randn(150000, 16).astype(np.float32))
+    feats0 = feats0 * valid[:, None]
+
+    # stage chain: (name, Cin, budget_out for the NEXT downsample)
+    chain = [
+        ("conv1", 16, 320000, (2, 2, 2), (1, 1, 1), (3, 3, 3)),
+        ("conv2", 32, 210000, (2, 2, 2), (1, 1, 1), (3, 3, 3)),
+        ("conv3", 64, 90000, (2, 2, 2), (0, 1, 1), (3, 3, 3)),
+        ("conv4", 128, 48000, (2, 1, 1), (0, 0, 0), (3, 1, 1)),
+        ("extra", 128, None, None, None, None),
+    ]
+    windows = {"conv1": (384, 512), "conv2": (384, 512, 768),
+               "conv3": (384, 512), "conv4": (384, 512), "extra": (384,)}
+
+    feats, coords, lin = jax.vmap(
+        lambda f, c: WC.sort_rows(f, c, grid))(feats0[None], coords[None])
+    feats, coords, lin = feats[0], coords[0], lin[0]
+
+    for (name, cin, bud, stride, pad, ksz) in chain:
+        v = lin.shape[0]
+        n_act = int(jnp.sum(lin < WC.MISS))
+        print(f"--- {name}: grid={grid} V={v} active={n_act} C={cin} ---",
+              flush=True)
+        f = jnp.asarray(rng.randn(v, cin).astype(np.float32))
+        f = f * (lin < WC.MISS)[:, None]
+        w_dyx = jnp.asarray(rng.randn(27, cin, cin).astype(np.float32) * 0.1)
+
+        for window in windows[name]:
+            # plan build cost (shared by the whole stage: 4-5 convs)
+            def step_p(carry, i, lin=lin, coords=coords, grid=grid,
+                       window=window):
+                l2 = jnp.where(lin < WC.MISS, lin + (i - i), lin)
+                pl_ = WC.make_subm_plan_presorted(l2, coords, grid,
+                                                  window=window,
+                                                  resid_budget=1024)
+                # consume every plan component so nothing is DCE'd
+                s = (jnp.sum(pl_.ws) + jnp.sum(pl_.kbase)
+                     + jnp.sum(pl_.resid_nbr) + pl_.n_resid
+                     + jnp.sum(pl_.windowed)).astype(jnp.float32) * 1e-20 \
+                    + carry * 1e-20
+                return s, s
+
+            plan = WC.make_subm_plan_presorted(lin, coords, grid,
+                                               window=window,
+                                               resid_budget=1024)
+            print(f"  subm plan W={window}: n_resid={int(plan.n_resid)}",
+                  flush=True)
+            report(f"  subm plan build W={window}", timed_scan(step_p, 2, 6))
+
+            for res in ("vmem", "hbm"):
+                if res == "vmem" and v * cin * 2 > 2 ** 23 * 4:
+                    continue  # >4 channel splits: not residency-eligible
+                def step_k(carry, i, f=f, plan=plan, w=w_dyx, res=res):
+                    ff = f + carry * 1e-20 + i.astype(jnp.float32) * 1e-12
+                    out = window_pass_pallas(ff, plan, w, residency=res)
+                    s = jnp.sum(out) * 1e-20
+                    return carry + s, s
+
+                try:
+                    secs = timed_scan(step_k, 2, 6)
+                    report(f"  kernel {res} W={window} bf16", secs, n=27 * v)
+                except Exception as e:
+                    print(f"  kernel {res} W={window} FAILED: "
+                          f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+
+        if bud is None:
+            break
+        # downsample to the next stage: active set + strided plan cost
+        grid_out = tuple(
+            (g + 2 * p_ - k_) // s_ + 1
+            for g, p_, k_, s_ in zip(grid, pad, ksz, stride))
+
+        def act(coords=coords, grid=grid, grid_out=grid_out, stride=stride,
+                pad=pad, ksz=ksz, bud=bud):
+            return WC.downsample_active_set_yxz(
+                coords, jnp.all(coords >= 0, -1), grid, grid_out, stride,
+                pad, ksz, bud)
+
+        def step_a(carry, i):
+            oc, ol = act()
+            s = jnp.sum(ol).astype(jnp.float32) * 1e-20 + carry * 1e-20
+            return s, s
+
+        report(f"  downsample active set -> {bud}", timed_scan(step_a, 2, 6))
+        oc, ol = jax.jit(act)()
+
+        def step_s(carry, i, lin=lin, ol=ol, oc=oc):
+            pl_ = WC.make_strided_plan(lin, ol, oc, grid, grid_out, stride,
+                                       pad, ksz, window=512,
+                                       resid_budget=1024)
+            s = (jnp.sum(pl_.ws) + jnp.sum(pl_.kbase)
+                 + jnp.sum(pl_.resid_nbr) + pl_.n_resid
+                 + jnp.sum(pl_.windowed)).astype(jnp.float32) * 1e-20 \
+                + carry * 1e-20
+            return s, s
+
+        report("  strided plan build W=512", timed_scan(step_s, 2, 6))
+        splan = WC.make_strided_plan(lin, ol, oc, grid, grid_out, stride,
+                                     pad, ksz, window=512, resid_budget=1024)
+        print(f"  strided plan: n_resid={int(splan.n_resid)}", flush=True)
+        cout = {"conv1": 32, "conv2": 64, "conv3": 128, "conv4": 128}[name]
+        wd = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+
+        def step_d(carry, i, f=f, splan=splan, wd=wd):
+            ff = f + carry * 1e-20 + i.astype(jnp.float32) * 1e-12
+            out = window_pass_pallas(ff, splan, wd, ksize=ksz,
+                                     residency="hbm")
+            s = jnp.sum(out) * 1e-20
+            return carry + s, s
+
+        try:
+            report("  strided kernel hbm W=512 bf16", timed_scan(step_d, 2, 6),
+                   n=27 * bud)
+        except Exception as e:
+            print(f"  strided kernel FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+        grid = grid_out
+        coords, lin = oc, ol
+        nxt = int(jnp.sum(ol < WC.MISS))
+        print(f"  -> next stage active={nxt} of budget {bud}", flush=True)
+
+
 SUITES = {
     "window_ref": bench_window_ref,
+    "window_stages": bench_window_stages,
     "gather": bench_gather,
     "scatter": bench_scatter,
     "matmul": bench_matmul,

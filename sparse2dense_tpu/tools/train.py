@@ -35,6 +35,12 @@ def parse_args():
                         "jax.distributed.initialize() (reference init_dist)")
     p.add_argument("--no_mesh", action="store_true",
                    help="disable the device mesh (single-device step)")
+    p.add_argument("--ts_step", default="auto",
+                   choices=["auto", "fused", "split"],
+                   help="distillation step graph: 'split' jits the teacher "
+                        "forward and the student update separately (halves "
+                        "the HBM peak at the full Waymo grid and compiles "
+                        "much faster); 'auto' splits at production grids")
     return p.parse_args()
 
 
@@ -150,9 +156,13 @@ def main():
             from ..parallel.mesh import replicate
 
             t_vars = replicate(t_vars, mesh)
+        split = {"auto": "auto", "fused": False, "split": True}[args.ts_step]
         trainer = TS_Trainer(teacher, t_vars, student, state, work_dir,
                              teacher_cfg=dict(cfg.model), hooks=hooks,
-                             logger=logger, meta=meta, mesh=mesh)
+                             logger=logger, meta=meta, mesh=mesh,
+                             split_step=split)
+        logger.info(f"TS step graph: "
+                    f"{'split' if trainer.split_step else 'fused'}")
     else:
         trainer = Trainer(student, state, work_dir, hooks=hooks, logger=logger,
                           meta=meta, mesh=mesh)

@@ -222,18 +222,42 @@ def _needs_example(model):
 class TS_Trainer(Trainer):
     """Teacher-student trainer (reference trainer.py:674-892): the teacher is
     frozen (no grads, eval-mode BN); distillation branch selected by the
-    teacher backbone family."""
+    teacher backbone family.
+
+    ``split_step``: jit the frozen teacher forward and the student update as
+    SEPARATE functions instead of one fused graph. The fused graph
+    co-schedules the teacher's multi-GB dense activations with the student's
+    fwd+bwd (measured 25.7 GB peak at the full Waymo grid vs 15.75 GB HBM);
+    splitting lets the teacher's working set die before the student update
+    allocates, and the two smaller graphs also compile far faster (the fused
+    jit_ts_step took 4m8s on CPU). "auto" splits when the student backbone
+    grid is production-scale (H >= 512); True/False force."""
 
     def __init__(self, teacher, t_variables, student, state: TrainState,
-                 work_dir: str, teacher_cfg: dict, **kw):
+                 work_dir: str, teacher_cfg: dict, split_step="auto", **kw):
         branch = branch_of(teacher_cfg)
-        ts_step = jax.jit(make_ts_train_step(teacher, student, branch))
+        ts = make_ts_train_step(teacher, student, branch)
         super().__init__(student, state, work_dir,
                          train_step=None, **kw)
+        if split_step == "auto":
+            shape = getattr(getattr(student, "backbone", None),
+                            "sparse_shape", (0, 0, 0))
+            split_step = shape[1] >= 512
+        self.split_step = bool(split_step)
+        if self.split_step:
+            self._teacher_fwd = jax.jit(ts.teacher_forward)
+            self._student_step = jax.jit(ts.student_step)
+            self._ts_step = None
+        else:
+            self._ts_step = jax.jit(ts)
         self.t_variables = t_variables
-        self._ts_step = ts_step
         self.branch = branch
 
     def step(self, batch):
-        self.state, metrics = self._ts_step(self.t_variables, self.state, batch)
+        if self.split_step:
+            t_out = self._teacher_fwd(self.t_variables, batch)
+            self.state, metrics = self._student_step(t_out, self.state, batch)
+        else:
+            self.state, metrics = self._ts_step(self.t_variables, self.state,
+                                                batch)
         return metrics
