@@ -27,9 +27,13 @@ gather count to 9 while staying EXACT:
    coverage budget to overflow. Submanifold and strided convs share the
    machinery (subm = stride 1, output rows = input rows);
 4. everything is plain XLA (gathers, matmuls, shifts), so jax.grad works
-   natively — this engine trains (the window engine's Pallas kernel has no
-   VJP); ops/pallas/sep_kernel.py accelerates the matching level with a
-   windowed one-hot kernel behind the same interface.
+   natively — this engine trains.
+
+STATUS: test oracle, not a production engine. Measured on the chip the
+9-gather matching level is still row-gather-bound, so the shipped flagship
+path is the window engine (ops/window_conv.py + its Pallas kernel); this
+engine stays as an independent exact formulation that cross-checks the
+others in tests/test_sepconv.py.
 
 Matches the role of spconv.SubMConv3d / SparseConv3d consumed at reference
 scn.py:104-152; parity vs the gather oracle is pinned in
@@ -169,22 +173,10 @@ def sep_conv(feats: jnp.ndarray, plan: SepPlan, weights: jnp.ndarray,
     gather-engine z-major tap order (kz, ky, kx nested — the checkpoint
     layout). Returns (V_out, Cout). Exact parity with the gather engine.
 
-    ``impl``: "auto" (Pallas matching kernel on TPU when available, XLA
-    elsewhere), "xla", or "pallas". compute_dtype (e.g. bf16) casts matmul
-    inputs; accumulation stays f32."""
-    import os
-
-    impl = os.environ.get("S2D_SEP_IMPL", impl)
-    if impl == "auto":
-        from .pallas import sep_kernel as _sk
-
-        impl = ("pallas" if jax.devices()[0].platform == "tpu"
-                and _sk.AVAILABLE else "xla")
-    if impl == "pallas":
-        from .pallas.sep_kernel import sep_conv_pallas
-
-        return sep_conv_pallas(feats, plan, weights, bias=bias, ksize=ksize,
-                               compute_dtype=compute_dtype)
+    ``impl`` is kept for API stability; the only implementation is the XLA
+    formulation (this engine is a test oracle — see module docstring).
+    compute_dtype (e.g. bf16) casts matmul inputs; accumulation stays f32."""
+    del impl
     return _sep_conv_xla(feats, plan, weights, bias, ksize, compute_dtype)
 
 
