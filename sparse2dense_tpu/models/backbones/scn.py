@@ -621,6 +621,52 @@ class TileZConv(nn.Module):
         return nn.relu(y) * m.astype(y.dtype), m
 
 
+class TileKStage(nn.Module):
+    """Parameter twin of TileSubMStage for the fused Pallas tile kernel:
+    declares the identical conv/BN tree (checkpoints interchange) and
+    returns the raw (w, bias, bn_vars) list for epilogue folding."""
+
+    channels: Sequence[int]
+    in_channels: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        from ..norm import BNVars
+
+        out, c = [], self.in_channels
+        init = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
+        for i, ch in enumerate(self.channels):
+            w = self.param(f"conv_{i}_kernel", init, (27, c, ch))
+            b = (self.param(f"conv_{i}_bias", nn.initializers.zeros, (ch,))
+                 if self.use_bias else None)
+            bn = BNVars(name=f"norm_{i}")(ch)
+            out.append((w, b, bn))
+            c = ch
+        return out
+
+
+class TileKBlock(nn.Module):
+    """Parameter twin of TileBasicBlock (names match SparseBasicBlock)."""
+
+    planes: int
+    in_channels: int
+
+    @nn.compact
+    def __call__(self):
+        from ..norm import BNVars
+
+        init = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
+        w1 = self.param("conv1_kernel", init,
+                        (27, self.in_channels, self.planes))
+        b1 = self.param("conv1_bias", nn.initializers.zeros, (self.planes,))
+        bn1 = BNVars(name="bn1")(self.planes)
+        w2 = self.param("conv2_kernel", init, (27, self.planes, self.planes))
+        b2 = self.param("conv2_bias", nn.initializers.zeros, (self.planes,))
+        bn2 = BNVars(name="bn2")(self.planes)
+        return (w1, b1, bn1), (w2, b2, bn2)
+
+
 class SubMStage(nn.Module):
     """n_convs x [SubMConv3d(3x3x3) BN ReLU] over one shared neighbor table."""
 
@@ -780,6 +826,13 @@ class SpMiddleResNetFHD(nn.Module):
     tile_size: Tuple[int, int] = (4, 4)
     tile_tz: Tuple[int, int, int, int] = (8, 4, 2, 6)
     tile_budgets: Tuple[int, int, int, int] = (72000, 36000, 14000, 2400)
+    # tile engine backend: "xla" = ops/tile_planes.py everywhere; "pallas" =
+    # the fused block kernel (ops/pallas/tile_block_kernel.py) for the subm
+    # stages at inference (training and downsamples stay on the XLA path)
+    tile_backend: str = "xla"
+    # pallas backend rank-window size in TILES: int or per-stage 4-tuple;
+    # targets outside the window are dropped and counted (telemetry)
+    tilek_window: Any = 256
     # conv compute dtype of the dense stages ("bfloat16" halves MXU time;
     # accumulation stays f32); None keeps full f32
     dense_compute_dtype: Optional[str] = None
@@ -801,6 +854,8 @@ class SpMiddleResNetFHD(nn.Module):
         if self.engine == "window":
             return self._window_forward(voxel_features, coords, train)
         if self.engine == "tile":
+            if self.tile_backend == "pallas" and not train:
+                return self._tilek_forward(voxel_features, coords, train)
             return self._tile_forward(voxel_features, coords, train)
         an = self.axis_name
         DenseSubMStage_, DenseBasicBlock_, DenseDownsample_ = _dense_mods(train, self.remat_dense)
@@ -1017,6 +1072,202 @@ class SpMiddleResNetFHD(nn.Module):
                 dense_x, dense_mask = densify_tiles(p, mask, ts, grid, tzs[3])
             dense_x, dense_mask = DenseDownsample_(
                 128, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1), compute_dtype=cd,
+                axis_name=an, name="extra_conv")(dense_x, dense_mask, train)
+            bev = dense_to_bev(dense_x.astype(voxel_features.dtype))
+        return bev, multi_scale
+
+    def _tilek_forward(self, voxel_features, coords, train: bool):
+        """Fused Pallas tile forward (inference path of the tile engine).
+
+        Each submanifold conv of a tile stage is ONE kernel invocation —
+        rank-range window DMAs, one-hot MXU selection, the whole 3x3x3 conv
+        as a halo-plane matmul, folded bias+BN+ReLU+mask epilogue, and
+        next-conv edge-export emission (ops/pallas/tile_block_kernel.py).
+        Downsamples and stage transitions reuse the XLA planes path (same
+        modules, same parameters). The parameter tree is identical to the
+        XLA tile engine (TileKStage/TileKBlock are parameter twins of
+        TileSubMStage/TileBasicBlock), so one checkpoint serves training
+        (XLA tile path, native grads) and fused eval. Replaces the spconv
+        consumption of reference det3d/models/backbones/scn.py:104-152."""
+        from ...ops import tile_conv as TLC
+        from ...ops import tile_kernel as TKK
+        from ...ops import tile_planes as TP
+
+        an = self.axis_name
+        cd = (jnp.dtype(self.dense_compute_dtype)
+              if self.dense_compute_dtype else jnp.dtype(voxel_features.dtype))
+        coords = coords.astype(jnp.int32)
+        valid0 = jnp.all(coords >= 0, axis=-1)
+        feats = voxel_features * valid0[..., None].astype(voxel_features.dtype)
+        feats = feats.astype(cd)
+        b, v, c0 = feats.shape
+        if c0 < 16:  # pad input channels so kernel piece slices stay aligned
+            feats = jnp.pad(feats, ((0, 0), (0, 0), (0, 16 - c0)))
+        ty, tx = self.tile_size
+        assert (ty, tx) == (4, 4), "pallas tile backend needs 4x4 BEV tiles"
+        tzs, tbud = self.tile_tz, self.tile_budgets
+        tw = self.tilek_window
+        if isinstance(tw, int):
+            wins = [(tw, tw)] * 4
+        else:
+            wins = [(int(w), int(w)) if not isinstance(w, (tuple, list))
+                    else (int(w[0]), int(w[1])) for w in tw]
+        grid0 = self.sparse_shape
+        dfs = self.dense_from_stage if self.dense_from_stage is not None else 99
+        DenseSubMStage_, DenseBasicBlock_, DenseDownsample_ = _dense_mods(
+            False, False)
+
+        d_chain = [grid0[0]]
+        for pz in (1, 1, 0):
+            d_chain.append((d_chain[-1] + 2 * pz - 3) // 2 + 1)
+        for k in range(1, 4):
+            assert 2 * tzs[k] == tzs[k - 1] or tzs[k] >= d_chain[k], (
+                f"tile_tz[{k}]={tzs[k]} breaks the chunk chain at d={d_chain[k]}")
+        assert tzs[3] >= d_chain[3], "conv4 z-chunk must cover the grid"
+
+        def fused_conv(st, exp, plan, wbb, mask16, residual, window):
+            w, bias, bn = wbb
+            cin_state = st.shape[-1] // 16
+            if w.shape[1] < cin_state:  # zero rows for the padded channels
+                w = jnp.pad(w, ((0, 0), (0, cin_state - w.shape[1]), (0, 0)))
+            sc16, sh16 = TKK.fold_epilogue(
+                w.shape[-1], bias=bias, bn_scale=bn[0], bn_bias=bn[1],
+                bn_mean=bn[2], bn_var=bn[3], eps=1e-3)
+            return TKK.tk_subm_conv(
+                st, exp, plan, w, sc16, sh16, mask16, residual=residual,
+                relu=True, w0=window[0], wz=window[1])
+
+        def run_stage(st, kmask, plan, window, stage_convs, blocks):
+            c = st.shape[-1] // 16
+            exp = TKK.make_exports(st, tzc[0], c)
+            co = (stage_convs or blocks[0])[0][0].shape[-1]
+            mask16 = TKK.expand_mask(kmask, co).astype(st.dtype)
+            for wbb in stage_convs:
+                st, exp = fused_conv(st, exp, plan, wbb, mask16, None, window)
+            for cv1, cv2 in blocks:
+                res = st
+                st, exp = fused_conv(st, exp, plan, cv1, mask16, None, window)
+                st, exp = fused_conv(st, exp, plan, cv2, mask16, res, window)
+            return st
+
+        def mask_to_planes(kmask, t1p, tz, t1):
+            m = kmask.reshape(tz, b, t1p, 16)[:, :, :t1]
+            return m.transpose(1, 2, 0, 3).reshape(b, t1 * tz, 4, 4, 1)
+
+        def densify_tiles(p_, mask_, ts_, g_, tz_):
+            dx = jax.vmap(lambda yy, t: TP.to_dense(yy, t, g_, tz_))(p_, ts_)
+            dm = jax.vmap(lambda mm, t: TP.to_dense(mm, t, g_, tz_))(mask_, ts_)
+            return dx, dm
+
+        # ---- conv1 stage -------------------------------------------------
+        grid = grid0
+        ts = jax.vmap(
+            lambda c: TLC.build_tile_set(c, grid, ty, tx, tzs[0], tbud[0])[0]
+        )(coords)
+        self.sow("telemetry", "conv1_tile_drop", jnp.sum(ts.n_drop))
+        tzc = [tzs[0]]  # current tz, carried for run_stage's exports
+
+        multi_scale = {}
+        dense_x = dense_mask = None
+        if dfs <= 0:
+            p0, kmask = TKK.build_state_batched(
+                feats, coords, ts, grid, ty, tx, tzs[0], TKK.t1p_of(tbud[0]))
+            t1p = TKK.t1p_of(tbud[0])
+            p = TKK.state_to_planes_batched(p0, b, t1p, tzs[0], tbud[0] + 1)
+            mk = mask_to_planes(kmask, t1p, tzs[0], tbud[0] + 1)
+            dense_x, dense_mask = densify_tiles(p, mk, ts, grid, tzs[0])
+            dense_x = DenseSubMStage_((16,), compute_dtype=self.dense_compute_dtype,
+                                      axis_name=an, name="conv_input")(
+                dense_x, dense_mask, train)
+            dense_x = DenseBasicBlock_(16, compute_dtype=self.dense_compute_dtype,
+                                       axis_name=an, name="conv1_0")(
+                dense_x, dense_mask, train)
+            dense_x = DenseBasicBlock_(16, compute_dtype=self.dense_compute_dtype,
+                                       axis_name=an, name="conv1_1")(
+                dense_x, dense_mask, train)
+            multi_scale["conv1"] = (dense_x, grid)
+        else:
+            t1p = TKK.t1p_of(tbud[0])
+            state, kmask = TKK.build_state_batched(
+                feats, coords, ts, grid, ty, tx, tzs[0], t1p)
+            plan = TKK.make_block_plan_batched(ts, t1p, wins[0][0],
+                                               wins[0][1])
+            self.sow("telemetry", "tilek_miss", plan.n_miss)
+            sc = TileKStage((16,), in_channels=c0, name="conv_input")()
+            b1 = TileKBlock(16, in_channels=16, name="conv1_0")()
+            b2 = TileKBlock(16, in_channels=16, name="conv1_1")()
+            state = run_stage(state, kmask, plan, wins[0], sc, [b1, b2])
+            p = TKK.state_to_planes_batched(state, b, t1p, tzs[0],
+                                            tbud[0] + 1)
+            mk = mask_to_planes(kmask, t1p, tzs[0], tbud[0] + 1)
+            multi_scale["conv1"] = ((p, mk, ts), grid)
+        if self.stop_after == "conv1":
+            return None, multi_scale
+
+        # ---- conv2..conv4 ------------------------------------------------
+        stages = [
+            ("conv2", 32, (1, 1, 1)),
+            ("conv3", 64, (1, 1, 1)),
+            ("conv4", 128, (0, 1, 1)),
+        ]
+        for k, (name, ch, pad) in enumerate(stages, start=1):
+            if k <= dfs and dense_x is None:
+                p, mk, ts, grid = TileDownsample(
+                    ch, tz=tzs[k - 1], tz_out=tzs[k], budget_out=tbud[k],
+                    padding=pad, axis_name=an,
+                    compute_dtype=self.dense_compute_dtype,
+                    name=f"{name}_down")(p, mk, ts, grid, train)
+                if k == dfs:
+                    dense_x, dense_mask = densify_tiles(p, mk, ts, grid,
+                                                        tzs[k])
+            else:
+                dense_x, dense_mask = DenseDownsample_(
+                    ch, (2, 2, 2), pad, ksize=(3, 3, 3),
+                    compute_dtype=self.dense_compute_dtype,
+                    axis_name=an, name=f"{name}_down")(dense_x, dense_mask,
+                                                       train)
+                grid = conv_out_grid(grid, (2, 2, 2), pad, (3, 3, 3))
+            if dense_x is None:
+                t1p = TKK.t1p_of(tbud[k])
+                tzc[0] = tzs[k]
+                state = TKK.planes_to_state_batched(p, tzs[k], t1p)
+                kmask = TKK.planes_to_state_batched(mk, tzs[k], t1p)
+                plan = TKK.make_block_plan_batched(ts, t1p, wins[k][0],
+                                                   wins[k][1])
+                self.sow("telemetry", "tilek_miss", plan.n_miss)
+                bb1 = TileKBlock(ch, in_channels=ch, name=f"{name}_0")()
+                bb2 = TileKBlock(ch, in_channels=ch, name=f"{name}_1")()
+                state = run_stage(state, kmask, plan, wins[k], [], [bb1, bb2])
+                p = TKK.state_to_planes_batched(state, b, t1p, tzs[k],
+                                                tbud[k] + 1)
+                mk = mask_to_planes(kmask, t1p, tzs[k], tbud[k] + 1)
+                multi_scale[name] = ((p, mk, ts), grid)
+            else:
+                dense_x = DenseBasicBlock_(
+                    ch, compute_dtype=self.dense_compute_dtype, axis_name=an,
+                    name=f"{name}_0")(dense_x, dense_mask, train)
+                dense_x = DenseBasicBlock_(
+                    ch, compute_dtype=self.dense_compute_dtype, axis_name=an,
+                    name=f"{name}_1")(dense_x, dense_mask, train)
+                multi_scale[name] = (dense_x, grid)
+            if self.stop_after == name:
+                return None, multi_scale
+
+        if 4 < dfs and dense_x is None:
+            y, m = TileZConv(128, d=grid[0], tz=tzs[3], axis_name=an,
+                             compute_dtype=self.dense_compute_dtype,
+                             name="extra_conv")(p, mk, train)
+            g4 = ((grid[0] - 3) // 2 + 1, grid[1], grid[2])
+            dense = jax.vmap(
+                lambda bb, t: TLC.tiles_to_dense(bb, t, g4, bb.shape[1])
+            )(y, ts)
+            bev = dense_to_bev(dense.astype(voxel_features.dtype))
+        else:
+            if dense_x is None:
+                dense_x, dense_mask = densify_tiles(p, mk, ts, grid, tzs[3])
+            dense_x, dense_mask = DenseDownsample_(
+                128, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1),
+                compute_dtype=self.dense_compute_dtype,
                 axis_name=an, name="extra_conv")(dense_x, dense_mask, train)
             bev = dense_to_bev(dense_x.astype(voxel_features.dtype))
         return bev, multi_scale

@@ -67,6 +67,28 @@ class BatchNorm(nn.Module):
         return y.astype(x.dtype)
 
 
+class BNVars(nn.Module):
+    """Parameter-tree twin of ``BatchNorm`` that only RETURNS its variables
+    (scale, bias, running mean, running var) instead of normalizing.
+
+    Used by fused inference paths (the Pallas tile kernel folds BN into its
+    epilogue): declaring the identical names/shapes keeps checkpoints and
+    param trees interchangeable with the unfused engines.
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, c: int):
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros(c, self.dtype))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones(c, self.dtype))
+        scale = self.param("scale", nn.initializers.ones, (c,), self.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.dtype)
+        return scale, bias, mean.value, var.value
+
+
 class LayerNorm2d(nn.Module):
     """Channel-wise LayerNorm on NHWC maps (reference ConvNeXt blocks use
     nn.LayerNorm over [C, H, W]; normalizing over the channel axis per
