@@ -1,0 +1,280 @@
+"""Host/XLA side of the active-plane Pallas sparse conv engine ("planek").
+
+Builds everything ops/pallas/plane_block_kernel.py consumes:
+
+- PLANE SETS: ops/tile_conv.build_tile_set with tz=1 — keys are
+  (z, by, bx) so each "tile" is one z-plane of a 4x4 BEV tile, with the
+  same lexicographic ranks / 26-direction neighbor tables / counted
+  budget overflow;
+- block plans: per-128-plane-block TWO-range rank windows per (dz, dy)
+  cluster + the (nb, 32, 128) neighbor-rank target block with
+  out-of-window targets pre-counted and sentineled;
+- per-(source, output-row) conv matrices (build_wrows) from the (27, C,
+  Co) z-major checkpoint taps;
+- plane state / mask / stage-initial exports, and the row permutations
+  between plane rows and the chunk planes layout that the XLA
+  downsample (ops/tile_planes.downsample) consumes.
+
+Replaces the spconv rulebook role of the reference backbone
+(/root/reference/det3d/models/backbones/scn.py:89-185).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import tile_conv as TC
+from . import tile_kernel as TK
+from .pallas.plane_block_kernel import (
+    BLK, GRAN, SENTINEL, cluster_pieces, cluster_widths, dir_row,
+    export_cells, plane_subm_pallas,
+)
+
+TC_DIR_IDX = {d: i for i, d in enumerate(TC.DIRS)}
+
+
+def t1p_of(budget: int) -> int:
+    return -(-(budget + 1) // BLK) * BLK
+
+
+def build_plane_set(coords: jnp.ndarray, grid: Sequence[int], budget: int):
+    """Plane set = tz=1 tile set: keys (z, by, bx), ranks lexicographic."""
+    return TC.build_tile_set(coords, grid, 4, 4, 1, budget)
+
+
+# ---------------------------------------------------------------------------
+# conv matrices
+# ---------------------------------------------------------------------------
+
+def build_wrows(w: jnp.ndarray, rows_per_mm: int = 1) -> jnp.ndarray:
+    """(27, C, Co) z-major taps (checkpoint layout) -> (3*n_groups,
+    in_rows*6C, rows_per_mm*4Co) per-(source, row-group) matrices.
+    Source order [mid(kz=1), zm(kz=0), zp(kz=2)] matches the kernel's h3
+    layout; out(y, x) += in_halo(y+ky, x+kx) * w[kz, ky, kx] (the same
+    cross-correlation convention as ops/tile_kernel.build_whalo)."""
+    c, co = w.shape[1], w.shape[2]
+    wk = np.asarray(w).reshape(3, 3, 3, c, co)
+    n_groups = 4 // rows_per_mm
+    in_rows = 2 + rows_per_mm
+    out = np.zeros((3, n_groups, in_rows * 6 * c, rows_per_mm * 4 * co),
+                   wk.dtype)
+    kz_of_src = (1, 0, 2)
+    for s in range(3):
+        kz = kz_of_src[s]
+        for g in range(n_groups):
+            y0 = g * rows_per_mm
+            for j in range(rows_per_mm):
+                y = y0 + j
+                for ky in range(3):
+                    for kx in range(3):
+                        for x in range(4):
+                            r_loc = j + ky
+                            cin0 = (r_loc * 6 + x + kx) * c
+                            cout0 = (j * 4 + x) * co
+                            out[s, g, cin0:cin0 + c, cout0:cout0 + co] += \
+                                wk[kz, ky, kx]
+    return jnp.asarray(out.reshape(3 * n_groups, in_rows * 6 * c,
+                                   rows_per_mm * 4 * co))
+
+
+# ---------------------------------------------------------------------------
+# block plan (two rank ranges per cluster)
+# ---------------------------------------------------------------------------
+
+class PKPlan(NamedTuple):
+    ws: jnp.ndarray      # (nb, 9, 2) int32 window starts / GRAN
+    tgt: jnp.ndarray     # (nb, 32, 128) int32 neighbor ranks, SENTINEL pad
+    n_miss: jnp.ndarray  # () int32 targets dropped (outside both ranges)
+
+
+def make_plane_plan(ts: TC.TileSet, t1p: int, w0: int, wz: int,
+                    rank_offset=0) -> PKPlan:
+    """Two-range rank windows per (dz, dy) cluster per 128-plane block.
+    Blocks straddling a z-layer boundary have bimodal neighbor ranks; the
+    second range covers the second mode exactly. ``rank_offset`` shifts
+    all ranks (batch-flattened layouts)."""
+    budget = ts.tile_pos.shape[0]
+    nb = t1p // BLK
+    wcap = (t1p // GRAN) * GRAN
+    w0 = min(w0, wcap)
+    wz = min(wz, wcap)
+
+    rows = [None] * 27
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dz, dy, dx) == (0, 0, 0):
+                    rows[13] = jnp.full((t1p,), SENTINEL, jnp.int32)
+                    continue
+                r = ts.nbr[:, TC_DIR_IDX[(dz, dy, dx)]]
+                r = jnp.where(r < budget, r, SENTINEL)
+                r = jnp.pad(r, (0, t1p - budget), constant_values=SENTINEL)
+                rows[dir_row(dz, dy, dx)] = r
+    tgt = jnp.stack(rows, 0)
+    tgt = jnp.pad(tgt, ((0, 32 - 27), (0, 0)), constant_values=SENTINEL)
+    tgt = tgt.reshape(32, nb, BLK).transpose(1, 0, 2)      # (nb, 32, 128)
+
+    ws_cols, miss = [], jnp.int32(0)
+    for ci in range(9):
+        w = w0 if ci // 3 == 1 else wz
+        g = tgt[:, 3 * ci:3 * ci + 3, :]
+        gf = g.reshape(nb, -1)
+        lo = jnp.min(gf, axis=1)
+        ws0 = (jnp.clip(lo, 0, max(t1p - w, 0)) // GRAN) * GRAN
+        in0 = g < (ws0[:, None, None] + w)
+        rem = jnp.where(in0, SENTINEL, g)
+        lo1 = jnp.min(rem.reshape(nb, -1), axis=1)
+        lo1 = jnp.where(lo1 >= SENTINEL, ws0 + w, lo1)
+        ws1 = (jnp.clip(lo1, 0, max(t1p - w, 0)) // GRAN) * GRAN
+        # kernel masks range-1 ranks < ws0 + w, so "covered" excludes them
+        in1 = (g >= jnp.maximum(ws1, ws0 + w)[:, None, None]) & \
+            (g < (ws1[:, None, None] + w))
+        inside = in0 | in1
+        miss = miss + jnp.sum(((g < SENTINEL) & ~inside).astype(jnp.int32))
+        tgt = tgt.at[:, 3 * ci:3 * ci + 3, :].set(
+            jnp.where(inside, g, SENTINEL))
+        ws_cols.append(jnp.stack([ws0 // GRAN, ws1 // GRAN], -1))
+    tgt = jnp.where(tgt < SENTINEL, tgt + rank_offset, SENTINEL)
+    off = rank_offset // GRAN
+    ws = jnp.stack(ws_cols, 1) + off                        # (nb, 9, 2)
+    return PKPlan(ws.astype(jnp.int32), tgt.astype(jnp.int32), miss)
+
+
+def make_plane_plan_batched(ts: TC.TileSet, t1p: int, w0: int,
+                            wz: int) -> PKPlan:
+    b = ts.tile_pos.shape[0]
+    offs = jnp.arange(b, dtype=jnp.int32) * t1p
+    plans = jax.vmap(
+        lambda t, o: make_plane_plan(t, t1p, w0, wz, rank_offset=o)
+    )(ts, offs)
+    return PKPlan(plans.ws.reshape(-1, 9, 2),
+                  plans.tgt.reshape(-1, 32, BLK), jnp.sum(plans.n_miss))
+
+
+# ---------------------------------------------------------------------------
+# state / mask / exports
+# ---------------------------------------------------------------------------
+
+def build_plane_state(feats, coords, ts, grid, t1p):
+    """(V, C) rows -> ((T1p, 16C) plane rows, (T1p, 16) occupancy)."""
+    st, mk = TK.build_state(feats, coords, ts, grid, 4, 4, 1, t1p)
+    return st[0], mk[0]
+
+
+def build_plane_state_batched(feats, coords, ts, grid, t1p):
+    st, mk = jax.vmap(
+        lambda f, c, t: build_plane_state(f, c, t, grid, t1p)
+    )(feats, coords, ts)
+    b = st.shape[0]
+    return st.reshape(b * t1p, -1), mk.reshape(b * t1p, 16)
+
+
+def expand_mask(mask: jnp.ndarray, co: int) -> jnp.ndarray:
+    return jnp.repeat(mask, co, axis=-1)
+
+
+def make_plane_exports(state: jnp.ndarray, c: int):
+    """Stage-initial per-cluster edge exports of (T1p, 16C) plane rows
+    (later convs get exports straight from the kernel)."""
+    t1p = state.shape[0]
+    sv = state.reshape(t1p, 16, c)
+
+    def piece(cells):
+        if len(cells) == 16:
+            return state
+        if cells == list(range(cells[0], cells[0] + 4)):
+            return state[:, cells[0] * c:(cells[0] + 4) * c]
+        return jnp.concatenate([sv[:, c4] for c4 in cells], axis=-1)
+
+    out = []
+    for ci in range(9):
+        dz, dy = ci // 3 - 1, ci % 3 - 1
+        pieces, width = cluster_pieces(c, ci)
+        cols = [piece(export_cells(dz, dy, dx)) for dx, _, _ in pieces]
+        arr = jnp.concatenate(cols, axis=-1)
+        arr = jnp.pad(arr, ((0, 0), (0, width - arr.shape[-1])))
+        out.append(arr)
+    return tuple(out)
+
+
+fold_epilogue = TK.fold_epilogue
+
+
+# ---------------------------------------------------------------------------
+# conv wrapper
+# ---------------------------------------------------------------------------
+
+def pk_subm_conv(state, exports, plan: PKPlan, w, scale16, shift16,
+                 mask16, residual=None, *, relu=True, w0=128, wz=128,
+                 interpret=None):
+    """Fused plane-level subm conv + epilogue; returns (state', exports').
+    w (27, Cin, Cout) z-major taps (the checkpoint layout). Uses row-pair
+    matmuls when 4*Cout < 128 (fills the MXU lane tile)."""
+    co = w.shape[2]
+    rows_per_mm = 2 if 4 * co < 128 else 1
+    wmm = build_wrows(w, rows_per_mm)
+    return plane_subm_pallas(
+        state, exports, plan.ws, plan.tgt, wmm, scale16, shift16, mask16,
+        residual, relu=relu, W0=w0, WZ=wz, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# plane rows <-> chunk planes layout (for the XLA downsample / oracles)
+# ---------------------------------------------------------------------------
+
+def plane_ranks_of_chunks(tile_ts: TC.TileSet, plane_ts: TC.TileSet,
+                          grid: Sequence[int], tz: int, budget_p: int):
+    """(T1_tile, tz) plane rank of each (chunk tile, zi); phantom rank
+    budget_p (an always-zero row) where the plane is absent/dropped."""
+    d = grid[0]
+    _, nby, nbx = TC.tile_counts(grid, 4, 4, tz)
+    t1 = tile_ts.tile_pos.shape[0] + 1
+    tpos = jnp.concatenate(
+        [tile_ts.tile_pos, jnp.full((1, 3), -1, jnp.int32)], 0)  # + phantom
+    zi = jnp.arange(tz, dtype=jnp.int32)
+    zg = tpos[:, 0:1] * tz + zi[None, :]                    # (T1, tz)
+    ok = (tpos[:, 0:1] >= 0) & (zg < d)
+    key = (zg * nby + tpos[:, 1:2]) * nbx + tpos[:, 2:3]
+    key = jnp.where(ok, key, d * nby * nbx)
+    pr = plane_ts.tmap[key]                                 # (T1, tz)
+    return jnp.where(ok & (pr < budget_p), pr, budget_p).astype(jnp.int32)
+
+
+def chunk_ranks_of_planes(plane_ts: TC.TileSet, tile_ts: TC.TileSet,
+                          grid: Sequence[int], tz: int, budget_t: int):
+    """(P1,) row index into the chunk planes layout (rank*tz + zi) for
+    each plane; phantom row budget_t*tz + tz - 1 ... kept in-range by
+    pointing absent planes at the tile phantom row (always zero)."""
+    _, nby, nbx = TC.tile_counts(grid, 4, 4, tz)
+    ppos = plane_ts.tile_pos                                # (P, 3) zg,by,bx
+    ok = ppos[:, 0] >= 0
+    key = ((ppos[:, 0] // tz) * nby + ppos[:, 1]) * nbx + ppos[:, 2]
+    nkeys = tile_ts.tmap.shape[0] - 1
+    tr = tile_ts.tmap[jnp.where(ok, key, nkeys)]
+    tr = jnp.where(ok & (tr < budget_t), tr, budget_t)      # phantom tile
+    zi = jnp.where(ok, ppos[:, 0] - (ppos[:, 0] // tz) * tz, 0)
+    return (tr * tz + zi).astype(jnp.int32)
+
+
+def planes_to_plane_state(p, prank_rows, t1p):
+    """Chunk planes (N=t1*tz, ty, tx, C) + (P1,) chunk-row index per plane
+    -> (T1p, 16C) plane rows (gather; absent -> phantom zero row)."""
+    n, ty, tx, c = p.shape
+    rows = p.reshape(n, 16 * c)
+    rows = jnp.concatenate([rows, jnp.zeros((1, 16 * c), p.dtype)], 0)
+    idx = jnp.minimum(prank_rows, n)                        # guard
+    out = rows[idx]
+    return jnp.pad(out, ((0, t1p - out.shape[0]), (0, 0)))
+
+
+def plane_state_to_planes(state, plane_of_chunk, tz):
+    """(T1p, 16C) plane rows + (T1_tile, tz) plane rank per chunk row ->
+    chunk planes (T1_tile*tz, 4, 4, C)."""
+    t1p, c16 = state.shape
+    rows = jnp.concatenate([state, jnp.zeros((1, c16), state.dtype)], 0)
+    idx = jnp.minimum(plane_of_chunk.reshape(-1), t1p)
+    out = rows[idx]
+    return out.reshape(-1, 4, 4, c16 // 16)

@@ -77,6 +77,10 @@ def main():
     p.add_argument("--tile_size", default="4,4")
     p.add_argument("--tile_tz", default="8,4,2,6")
     p.add_argument("--tile_budgets", default="72000,36000,14000,2400")
+    p.add_argument("--tile_backend", default="xla",
+                   help='"pallas" = fused tile-block kernel (eval path)')
+    p.add_argument("--tilek_window", default="256",
+                   help="rank-window tiles: one int or per-stage w0:wz,...")
     args = p.parse_args()
 
     import jax
@@ -91,6 +95,12 @@ def main():
 
     budgets = (tuple(int(x) for x in args.budgets.split(","))
                if args.budgets else None)
+    if "," in args.tilek_window:
+        tkw = tuple(
+            tuple(int(v) for v in w.split(":")) if ":" in w else int(w)
+            for w in args.tilek_window.split(","))
+    else:
+        tkw = int(args.tilek_window)
     feats, coords = synth_voxels(args.voxels)
     featsj, coordsj = jnp.asarray(feats), jnp.asarray(coords)
 
@@ -106,7 +116,9 @@ def main():
                                tile_tz=tuple(int(x) for x in
                                              args.tile_tz.split(",")),
                                tile_budgets=tuple(int(x) for x in
-                                                  args.tile_budgets.split(",")))
+                                                  args.tile_budgets.split(",")),
+                               tile_backend=args.tile_backend,
+                               tilek_window=tkw)
         variables = jax.jit(lambda: bb.init(jax.random.PRNGKey(0), featsj,
                                             coordsj, False))()
 
