@@ -626,8 +626,154 @@ def bench_window_stages():
         print(f"  -> next stage active={nxt} of budget {bud}", flush=True)
 
 
+def timed_scan_args(step_fn, args, k1=2, k2=6, reps=3):
+    """timed_scan with big operands passed as jit ARGUMENTS (the axon
+    remote-compile tunnel embeds closure constants in the request body;
+    multi-hundred-MB exports trip its length limit)."""
+
+    def make(k):
+        @jax.jit
+        def run(i0, *a):
+            def body(carry, i):
+                return step_fn(carry, i, *a)
+            _, outs = jax.lax.scan(body, jnp.float32(0.0),
+                                   i0 + jnp.arange(k, dtype=jnp.int32))
+            return jnp.sum(outs)
+        return run
+
+    def t(k):
+        run = make(k)
+        float(np.asarray(run(jnp.int32(0), *args)))
+        ts = []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            float(np.asarray(run(jnp.int32(r + 1), *args)))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    return max((t(k2) - t(k1)) / (k2 - k1), 1e-9)
+
+
+def bench_planek_stages():
+    """On-chip cost of the ACTIVE-PLANE Pallas kernel (ops/plane_conv +
+    ops/pallas/plane_block_kernel, (by, bx, z) rank order) at every
+    flagship stage geometry, on the REAL downsample chain of a
+    150k-voxel synthetic Waymo scene: active plane counts, window
+    coverage vs (w0, wy), per-conv kernel ms (bf16), and the per-frame
+    prep costs (plane set / state / plan). Drives the round-4 planek
+    engine decision (VERDICT r3 next #1)."""
+    from ..ops import plane_conv as PK
+    from ..ops import window_conv as WC
+    from .profile_model import synth_voxels
+
+    rng = np.random.RandomState(0)
+    grid = (41, 1504, 1504)
+    _, coords_np = synth_voxels(150000)
+    coords = jnp.asarray(coords_np[0])
+
+    chain = [
+        ("conv1", 16, 320000, (2, 2, 2), (1, 1, 1), (3, 3, 3)),
+        ("conv2", 32, 210000, (2, 2, 2), (1, 1, 1), (3, 3, 3)),
+        ("conv3", 64, 90000, (2, 2, 2), (0, 1, 1), (3, 3, 3)),
+        ("conv4", 128, None, None, None, None),
+    ]
+    windows = {"conv1": [(128, 128), (96, 96), (160, 160)],
+               "conv2": [(128, 128), (96, 96)],
+               "conv3": [(128, 128), (96, 96)],
+               "conv4": [(128, 128)]}
+
+    for (name, cin, bud, stride, pad, ksz) in chain:
+        cnp = np.asarray(coords)
+        ok = (cnp >= 0).all(1)
+        keys = np.unique(
+            (cnp[ok, 0].astype(np.int64) * 10**8
+             + (cnp[ok, 1] // 4) * 10**4 + cnp[ok, 2] // 4))
+        n_planes = len(keys)
+        budget = -(-(n_planes + 64) // 128) * 128
+        t1p = PK.t1p_of(budget)
+        print(f"--- {name}: grid={grid} V={int(ok.sum())} planes={n_planes} "
+              f"budget={budget} t1p={t1p} C={cin} ---", flush=True)
+
+        feats = jnp.asarray(
+            rng.randn(len(cnp), cin).astype(np.float32)) * ok[:, None]
+        w = jnp.asarray(rng.randn(27, cin, cin).astype(np.float32) * 0.1)
+
+        build = jax.jit(lambda c, f: _planek_build(PK, c, f, grid, budget,
+                                                   t1p, cin))
+        ts, state, mask = build(coords, feats)
+        state = state.astype(jnp.bfloat16)
+        print(f"  plane drop={int(ts.n_drop)}", flush=True)
+
+        def step_build(carry, i, coords, feats):
+            c2 = jnp.where(i >= 0, coords, 0)  # i is dynamic: no hoisting
+            ts_, st_, mk_ = _planek_build(PK, c2, feats, grid, budget, t1p,
+                                          cin)
+            s = (jnp.sum(st_) * 1e-20 + jnp.sum(mk_).astype(jnp.float32)
+                 * 1e-20 + carry * 1e-20)
+            return s, s
+
+        report("  plane set + state build",
+               timed_scan_args(step_build, (coords, feats), 2, 6))
+
+        for (w0, wy) in windows[name]:
+            plan = jax.jit(
+                lambda t: PK.make_plane_plan(t, t1p, w0=w0, wy=wy))(ts)
+            print(f"  plan w0={w0} wy={wy}: miss={int(plan.n_miss)}",
+                  flush=True)
+
+            def step_plan(carry, i, ts):
+                nb2 = jnp.where(i >= 0, ts.nbr, 0)
+                p_ = PK.make_plane_plan(ts._replace(nbr=nb2), t1p, w0=w0,
+                                        wy=wy)
+                s = (jnp.sum(p_.ws) + p_.n_miss).astype(jnp.float32) \
+                    * 1e-20 + carry * 1e-20
+                return s, s
+
+            report(f"  plan build w0={w0} wy={wy}",
+                   timed_scan_args(step_plan, (ts,), 2, 6))
+
+            exports = jax.jit(
+                lambda s: PK.make_plane_exports(s, cin))(state)
+            sc16, sh16 = PK.fold_epilogue(cin)
+            mask16 = PK.expand_mask(mask, cin).astype(state.dtype)
+
+            def step_k(carry, i, state, exports, plan, mask16):
+                st = state + carry.astype(state.dtype) * 0 \
+                    + i.astype(state.dtype) * jnp.asarray(1e-8, state.dtype)
+                out, _ = PK.pk_subm_conv(
+                    st, exports, plan, w, sc16, sh16, mask16,
+                    relu=True, w0=w0, wy=wy, interpret=False)
+                s = jnp.sum(out.astype(jnp.float32)) * 1e-20
+                return carry + s, s
+
+            try:
+                secs = timed_scan_args(
+                    step_k, (state, exports, plan, mask16), 2, 6)
+                report(f"  planek conv w0={w0} wy={wy} bf16", secs,
+                       flops=2 * 27 * int(ok.sum()) * cin * cin)
+            except Exception as e:
+                print(f"  planek conv FAILED: {type(e).__name__}: "
+                      f"{str(e)[:300]}", flush=True)
+
+        if bud is None:
+            break
+        grid_out = tuple((g + 2 * p_ - k_) // s_ + 1
+                         for g, p_, k_, s_ in zip(grid, pad, ksz, stride))
+        oc, _ = jax.jit(lambda c: WC.downsample_active_set_yxz(
+            c, jnp.all(c >= 0, -1), grid, grid_out, stride, pad, ksz,
+            bud))(coords)
+        grid, coords = grid_out, oc
+
+
+def _planek_build(PK, coords, feats, grid, budget, t1p, cin):
+    ts, _ = PK.build_plane_set(coords, grid, budget)
+    state, mask = PK.build_plane_state(feats, coords, ts, grid, t1p)
+    return ts, state, mask
+
+
 SUITES = {
     "window_ref": bench_window_ref,
+    "planek_stages": bench_planek_stages,
     "window_stages": bench_window_stages,
     "gather": bench_gather,
     "scatter": bench_scatter,

@@ -1,6 +1,6 @@
 """Parity of the active-plane Pallas kernel (ops/pallas/plane_block_kernel
-+ ops/plane_conv) against the tile_planes engine at tz=1 (itself pinned to
-the gather-GEMM/dense oracle in tests/test_tile_planes.py).
++ ops/plane_conv, (by, bx, z) rank order) against a dense zero-padded
+submanifold conv oracle.
 
 Runs the kernel in interpreter mode on CPU; Mosaic-lowered parity is
 exercised on the real chip by the flagship bench.
@@ -39,10 +39,7 @@ def build(coords, c, budget, dtype=jnp.float32, seed=1):
     ts, _ = PK.build_plane_set(cj, GRID, budget)
     t1p = PK.t1p_of(budget)
     state, mask = PK.build_plane_state(fj, cj, ts, GRID, t1p)
-    pslot, _ = TP.row_slots(cj, ts, GRID, 4, 4, 1)
-    p = TP.scatter_rows(fj, pslot, ts, 1, 4, 4)
-    mask_p = TP.build_mask(pslot, ts, 1, 4, 4)
-    return ts, t1p, state, mask, p, mask_p
+    return ts, t1p, state, mask
 
 
 def dense_subm_oracle(coords, feats, w, bias=None):
@@ -65,10 +62,17 @@ def dense_subm_oracle(coords, feats, w, bias=None):
     return out
 
 
+def rows_to_state(rows, coords, ts, t1p):
+    """Scatter oracle (V, Co) rows into the plane-state layout."""
+    st, _ = PK.build_plane_state(jnp.asarray(rows), jnp.asarray(coords),
+                                 ts, GRID, t1p)
+    return st
+
+
 def ref_vs_kernel(c, co, budget=512, relu=False, residual=False,
-                  w0=None, wz=None, seed=0):
+                  w0=None, wy=None, seed=0):
     coords = scene(seed)
-    ts, t1p, state, mask, p, mask_p = build(coords, c, budget, seed=seed)
+    ts, t1p, state, mask = build(coords, c, budget, seed=seed)
     rng = np.random.RandomState(seed + 7)
     w = jnp.asarray(rng.randn(27, c, co).astype(np.float32)) * 0.2
     bias = jnp.asarray(rng.randn(co).astype(np.float32))
@@ -79,29 +83,27 @@ def ref_vs_kernel(c, co, budget=512, relu=False, residual=False,
 
     y_rows = dense_subm_oracle(coords, feats_rows, np.asarray(w),
                                np.asarray(bias))
-    # scatter oracle rows into the planes layout for masked comparison
-    pslot, _ = TP.row_slots(jnp.asarray(coords), ts, GRID, 4, 4, 1)
-    y_ref = TP.scatter_rows(jnp.asarray(y_rows), pslot, ts, 1, 4, 4)
+    if residual:
+        assert c == co
+        y_rows = y_rows + feats_rows
     if relu:
-        ref = jnp.maximum(y_ref + (p if residual else 0.0), 0.0) \
-            * mask_p.astype(y_ref.dtype)
-    else:
-        ref = y_ref + ((p * mask_p) if residual else 0.0)
+        y_rows = np.maximum(y_rows, 0.0)
+    ref = rows_to_state(y_rows, coords, ts, t1p)
 
     exports = PK.make_plane_exports(state, c)
-    plan = PK.make_plane_plan(ts, t1p, w0=w0 or t1p, wz=wz or t1p)
+    plan = PK.make_plane_plan(ts, t1p, w0=w0 or t1p, wy=wy or t1p)
+    assert int(plan.n_miss) == 0
     scale16, shift16 = PK.fold_epilogue(co, bias=bias)
     mask16 = PK.expand_mask(mask, co)
     out, exports_o = PK.pk_subm_conv(
         state, exports, plan, w, scale16, shift16, mask16,
         residual=state if residual else None,
-        relu=relu, w0=w0 or t1p, wz=wz or t1p, interpret=True)
+        relu=relu, w0=w0 or t1p, wy=wy or t1p, interpret=True)
 
-    got = out[: budget + 1].reshape(-1, 4, 4, co)
-    m = np.asarray(mask_p)[..., 0] > 0
-    np.testing.assert_allclose(np.asarray(got)[m], np.asarray(ref)[m],
+    m = np.asarray(PK.expand_mask(mask, co)) > 0
+    np.testing.assert_allclose(np.asarray(out)[m], np.asarray(ref)[m],
                                rtol=2e-5, atol=2e-5)
-    return out, exports_o, plan
+    return out, exports_o, plan, (ts, t1p, state, mask)
 
 
 def test_subm_parity_c16():
@@ -122,8 +124,13 @@ def test_subm_parity_relu_residual():
     ref_vs_kernel(c=16, co=16, relu=True, residual=True, seed=1)
 
 
+def test_subm_parity_small_windows():
+    # two-range 128-row windows must stay exact on the uniform scene
+    ref_vs_kernel(c=16, co=16, w0=128, wy=128, seed=4)
+
+
 def test_exports_match_rebuild():
-    out, exports_o, _ = ref_vs_kernel(c=16, co=16, seed=3)
+    out, exports_o, _, _ = ref_vs_kernel(c=16, co=16, seed=3)
     exports_r = PK.make_plane_exports(out, 16)
     for ci, (a, b) in enumerate(zip(exports_o, exports_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
@@ -133,7 +140,7 @@ def test_exports_match_rebuild():
 def test_chained_convs_via_kernel_exports():
     c, budget = 16, 512
     coords = scene(5)
-    ts, t1p, state, mask, p, mask_p = build(coords, c, budget, seed=5)
+    ts, t1p, state, mask = build(coords, c, budget, seed=5)
     rng = np.random.RandomState(11)
     w1 = jnp.asarray(rng.randn(27, c, c).astype(np.float32)) * 0.2
     w2 = jnp.asarray(rng.randn(27, c, c).astype(np.float32)) * 0.2
@@ -144,48 +151,46 @@ def test_chained_convs_via_kernel_exports():
     r1_rows = np.maximum(dense_subm_oracle(coords, feats_rows,
                                            np.asarray(w1)), 0.0)
     r2_rows = dense_subm_oracle(coords, r1_rows, np.asarray(w2))
-    pslot, _ = TP.row_slots(jnp.asarray(coords), ts, GRID, 4, 4, 1)
-    r2 = TP.scatter_rows(jnp.asarray(r2_rows), pslot, ts, 1, 4, 4)
+    ref = rows_to_state(r2_rows, coords, ts, t1p)
 
     exports = PK.make_plane_exports(state, c)
-    plan = PK.make_plane_plan(ts, t1p, w0=t1p, wz=t1p)
+    plan = PK.make_plane_plan(ts, t1p, w0=t1p, wy=t1p)
     sc1, sh1 = PK.fold_epilogue(c)
     mask16 = PK.expand_mask(mask, c)
     o1, exports_o = PK.pk_subm_conv(
         state, exports, plan, w1, sc1, sh1, mask16, relu=True,
-        w0=t1p, wz=t1p, interpret=True)
+        w0=t1p, wy=t1p, interpret=True)
     o2, _ = PK.pk_subm_conv(
         o1, exports_o, plan, w2, sc1, sh1, mask16, relu=False,
-        w0=t1p, wz=t1p, interpret=True)
+        w0=t1p, wy=t1p, interpret=True)
 
-    got = o2[: budget + 1].reshape(-1, 4, 4, c)
-    m = np.asarray(mask_p)[..., 0] > 0
-    np.testing.assert_allclose(np.asarray(got)[m], np.asarray(r2)[m],
+    m = np.asarray(mask16) > 0
+    np.testing.assert_allclose(np.asarray(o2)[m], np.asarray(ref)[m],
                                rtol=2e-5, atol=2e-5)
 
 
-def test_two_range_windows_cover_boundary_blocks():
-    """Tight single ranges miss z-boundary blocks; the second range
-    covers them (miss -> 0) on a scene with uneven layer densities."""
+def test_two_range_windows_cover_row_boundaries():
+    """Small per-cluster windows stay exact: a dense bottom band of BEV
+    rows next to sparse upper rows makes blocks straddle tile-row
+    boundaries with bimodal dy-neighbor ranks; the second range covers
+    them (miss -> 0) where one range cannot."""
     rng = np.random.RandomState(9)
-    # dense ground layer + sparse upper layers = bimodal z-neighbor ranks
+    # dense band of low-y rows + sparse high-y rows, multi-z columns
     n_g, n_u = 600, 120
-    gy = rng.choice(32 * 32, n_g, replace=False)
-    coords_g = np.stack([np.zeros(n_g, np.int64), gy // 32, gy % 32], -1)
-    uy = rng.choice(7 * 32 * 32, n_u, replace=False)
-    coords_u = np.stack([1 + uy // (32 * 32), (uy // 32) % 32, uy % 32], -1)
+    gy = rng.choice(8 * 32 * 4, n_g, replace=False)  # y in [0, 4)
+    coords_g = np.stack([gy % 8, (gy // 8) % 4, (gy // 32) % 32],
+                        -1).astype(np.int64)
+    uu = rng.choice(8 * 32 * 28, n_u, replace=False)
+    coords_u = np.stack([uu % 8, 4 + (uu // 8) % 28, (uu // (8 * 28)) % 32],
+                        -1).astype(np.int64)
     coords = np.concatenate([coords_g, coords_u]).astype(np.int32)
     coords = np.unique(coords, axis=0)
     cj = jnp.asarray(coords)
     ts, _ = PK.build_plane_set(cj, GRID, 900)
     t1p = PK.t1p_of(900)
-    plan_w = PK.make_plane_plan(ts, t1p, w0=128, wz=128)
-    # single-range equivalent: kernel range 1 duplicated -> count misses
-    # the one-range way by rebuilding with wz = t1p for comparison
-    plan_full = PK.make_plane_plan(ts, t1p, w0=t1p, wz=t1p)
+    plan_full = PK.make_plane_plan(ts, t1p, w0=t1p, wy=t1p)
     assert int(plan_full.n_miss) == 0
-    # two 128-ranges must cover far better than one 256-range could:
-    # every target is in SOME range here (layer spans < 128 after split)
+    plan_w = PK.make_plane_plan(ts, t1p, w0=128, wy=128)
     assert int(plan_w.n_miss) == 0
 
 
@@ -195,8 +200,8 @@ def test_batched_plan_offsets():
     cj = jnp.asarray(coords)
     ts = jax.vmap(lambda cc: PK.build_plane_set(cc, GRID, budget)[0])(cj)
     t1p = PK.t1p_of(budget)
-    plan = PK.make_plane_plan_batched(ts, t1p, w0=t1p, wz=t1p)
-    assert plan.ws.shape == (2 * t1p // 128, 9, 2)
+    plan = PK.make_plane_plan_batched(ts, t1p, w0=t1p, wy=t1p)
+    assert plan.ws.shape == (2 * t1p // 128, 3, 2)
     tgt1 = np.asarray(plan.tgt[t1p // 128:])
     real = tgt1[tgt1 < PK.SENTINEL]
     assert (real >= t1p).all() and (real < 2 * t1p).all()
