@@ -127,7 +127,13 @@ def bench_voxelnet_s2d():
     # the bench runs the user-facing configuration unmodified; S2D_ENGINE
     # only exists for engine A/B experiments
     if os.environ.get("S2D_ENGINE"):
-        cfg.S_model["backbone"]["engine"] = os.environ["S2D_ENGINE"]
+        eng = os.environ["S2D_ENGINE"]  # "window" | "plane" | "tile:pallas"
+        eng, _, backend = eng.partition(":")
+        cfg.S_model["backbone"]["engine"] = eng
+        if backend:
+            cfg.S_model["backbone"]["tile_backend"] = backend
+        if eng in ("plane", "tile"):  # these ignore dense_from_stage
+            cfg.S_model["backbone"].pop("dense_from_stage", None)
     model = build_detector(cfg.S_model, test_cfg=cfg.test_cfg,
                            voxel_generator=cfg.voxel_generator)
     batch = make_batch(cfg, 1, max_voxels=150000, n_points=170000,

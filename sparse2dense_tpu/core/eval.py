@@ -38,11 +38,23 @@ def _ap_from_pr(recall: np.ndarray, precision: np.ndarray, n_points=40) -> float
     return float(ap)
 
 
+def heading_weight(dt_yaw: float, gt_yaw: float) -> float:
+    """Waymo APH heading-accuracy weight: 1 - |wrapped yaw error| / pi
+    (waymo_open_dataset metrics; the reference defers to the devkit,
+    docs/WAYMO.md:115-127 — this is the same weighting computed locally)."""
+    d = abs(float(dt_yaw) - float(gt_yaw)) % (2 * np.pi)
+    d = min(d, 2 * np.pi - d)
+    return max(0.0, 1.0 - d / np.pi)
+
+
 def evaluate_class(gt_list: List[np.ndarray], dt_list: List[np.ndarray],
                    dt_scores: List[np.ndarray], iou_thresh: float) -> dict:
-    """Per-frame gt (Ni, 7) and dt (Mi, 7)+scores -> AP at one IoU threshold."""
+    """Per-frame gt (Ni, 7) and dt (Mi, 7)+scores -> AP and heading-
+    weighted APH at one IoU threshold. APH credits each TP by its heading
+    accuracy (Waymo protocol): weighted TPs feed both precision and
+    recall numerators; FPs stay unweighted."""
     total_gt = sum(len(g) for g in gt_list)
-    records = []  # (score, is_tp)
+    records = []  # (score, is_tp, heading_weight)
     for gt, dt, scores in zip(gt_list, dt_list, dt_scores):
         order = np.argsort(-scores)
         dt, scores = dt[order], scores[order]
@@ -53,18 +65,24 @@ def evaluate_class(gt_list: List[np.ndarray], dt_list: List[np.ndarray],
                 j = int(np.argmax(np.where(taken, -1.0, iou[i])))
                 if iou[i, j] >= iou_thresh and not taken[j]:
                     taken[j] = True
-                    records.append((scores[i], True))
+                    records.append((scores[i], True,
+                                    heading_weight(dt[i, -1], gt[j, -1])))
                     continue
-            records.append((scores[i], False))
+            records.append((scores[i], False, 0.0))
     if not records or total_gt == 0:
-        return {"ap": 0.0, "recall": 0.0, "precision": 0.0, "num_gt": total_gt}
+        return {"ap": 0.0, "aph": 0.0, "recall": 0.0, "precision": 0.0,
+                "num_gt": total_gt}
     records.sort(key=lambda r: -r[0])
     tp = np.cumsum([r[1] for r in records])
     fp = np.cumsum([not r[1] for r in records])
+    tpw = np.cumsum([r[2] for r in records])
     recall = tp / total_gt
     precision = tp / np.maximum(tp + fp, 1)
+    recall_h = tpw / total_gt
+    precision_h = tpw / np.maximum(tp + fp, 1)
     return {
         "ap": _ap_from_pr(recall, precision),
+        "aph": _ap_from_pr(recall_h, precision_h),
         "recall": float(recall[-1]),
         "precision": float(precision[-1]),
         "num_gt": total_gt,

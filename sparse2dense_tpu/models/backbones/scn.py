@@ -667,6 +667,70 @@ class TileKBlock(nn.Module):
         return (w1, b1, bn1), (w2, b2, bn2)
 
 
+class PlaneKBlock(nn.Module):
+    """Residual block on active-plane state rows (plane engine; parameter
+    names match SparseBasicBlock so checkpoints interchange across
+    engines). Eval fuses bias+BN+ReLU+residual+mask into the Pallas
+    plane-kernel epilogue (ops/pallas/plane_block_kernel.py) and chains
+    the kernel-emitted edge exports between convs; train runs the kernel
+    conv through a custom_vjp (reference-vjp backward,
+    ops/plane_conv.pk_subm_conv_train) with unfolded masked BatchNorm so
+    batch statistics and running averages stay exact."""
+
+    planes: int
+    in_channels: int
+    win: Tuple[int, int] = (128, 128)
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, state, exports, mask, plan, nbr, train: bool):
+        from ...ops import plane_conv as PK
+        from ..norm import BNVars
+
+        init = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
+        w1 = self.param("conv1_kernel", init,
+                        (27, self.in_channels, self.planes))
+        b1 = self.param("conv1_bias", nn.initializers.zeros, (self.planes,))
+        w2 = self.param("conv2_kernel", init, (27, self.planes, self.planes))
+        b2 = self.param("conv2_bias", nn.initializers.zeros, (self.planes,))
+        w0, wy = self.win
+        mask16 = PK.expand_mask(mask, self.planes).astype(state.dtype)
+        if not train:
+            bn1 = BNVars(name="bn1")(self.planes)
+            bn2 = BNVars(name="bn2")(self.planes)
+            sc1, sh1 = PK.fold_epilogue(
+                self.planes, bias=b1, bn_scale=bn1[0], bn_bias=bn1[1],
+                bn_mean=bn1[2], bn_var=bn1[3], eps=1e-3)
+            sc2, sh2 = PK.fold_epilogue(
+                self.planes, bias=b2, bn_scale=bn2[0], bn_bias=bn2[1],
+                bn_mean=bn2[2], bn_var=bn2[3], eps=1e-3)
+            out, exp = PK.pk_subm_conv(
+                state, exports, plan, w1, sc1, sh1, mask16, relu=True,
+                w0=w0, wy=wy)
+            out, exp = PK.pk_subm_conv(
+                out, exp, plan, w2, sc2, sh2, mask16, residual=state,
+                relu=True, w0=w0, wy=wy)
+            return out, exp
+
+        t = state.shape[0]
+
+        def bn(x, name):
+            xr = x.reshape(t, 16, self.planes)
+            y = BatchNorm(axis_name=self.axis_name, name=name)(
+                xr, mask=mask[..., None], use_running_average=False)
+            return y.reshape(t, 16 * self.planes).astype(state.dtype)
+
+        out = PK.pk_subm_conv_train(state, plan, nbr, w1, mask16,
+                                    w0=w0, wy=wy)
+        out = bn(out + jnp.tile(b1, 16).astype(out.dtype), "bn1")
+        out = nn.relu(out) * mask16
+        out = PK.pk_subm_conv_train(out, plan, nbr, w2, mask16,
+                                    w0=w0, wy=wy)
+        out = bn(out + jnp.tile(b2, 16).astype(out.dtype), "bn2")
+        out = nn.relu(out + state) * mask16
+        return out, None
+
+
 class SubMStage(nn.Module):
     """n_convs x [SubMConv3d(3x3x3) BN ReLU] over one shared neighbor table."""
 
@@ -831,8 +895,23 @@ class SpMiddleResNetFHD(nn.Module):
     # stages at inference (training and downsamples stay on the XLA path)
     tile_backend: str = "xla"
     # pallas backend rank-window size in TILES: int or per-stage 4-tuple;
-    # targets outside the window are dropped and counted (telemetry)
+    # targets outside the window are dropped and counted (telemetry).
+    # NOTE: the 256 default was tuned drop-free on the synthetic Waymo
+    # scene (tools/profile_model.synth_voxels); denser scenes can exceed
+    # it, in which case neighbor contributions are dropped SILENTLY
+    # unless the caller watches the "tilek_miss" telemetry counter
+    # (Trainer surfaces it in train metrics; eval scripts should assert
+    # it is zero or widen the window).
     tilek_window: Any = 256
+    # active-plane Pallas engine ("plane"): occupied-plane budgets for
+    # conv2..conv4 (conv1 runs on the window engine — conv1 planes hold
+    # ~1.3 of 16 cells, measured 7.6 ms/conv planek vs 3.85 window) and
+    # the kernel's rank-window rows (int, or per-stage (conv2, conv3,
+    # conv4) of ints / (w0, wy) pairs). Coverage is exact at 128 on the
+    # synthetic Waymo chain (PERF.md round 5); misses are counted
+    # (telemetry planek_miss).
+    plane_budgets: Tuple[int, int, int] = (80000, 26000, 6400)
+    plane_window: Any = 128
     # conv compute dtype of the dense stages ("bfloat16" halves MXU time;
     # accumulation stays f32); None keeps full f32
     dense_compute_dtype: Optional[str] = None
@@ -853,6 +932,8 @@ class SpMiddleResNetFHD(nn.Module):
             return self._column_forward(voxel_features, coords, train)
         if self.engine == "window":
             return self._window_forward(voxel_features, coords, train)
+        if self.engine == "plane":
+            return self._plane_forward(voxel_features, coords, train)
         if self.engine == "tile":
             if self.tile_backend == "pallas" and not train:
                 return self._tilek_forward(voxel_features, coords, train)
@@ -1101,6 +1182,9 @@ class SpMiddleResNetFHD(nn.Module):
         feats = voxel_features * valid0[..., None].astype(voxel_features.dtype)
         feats = feats.astype(cd)
         b, v, c0 = feats.shape
+        feats_raw = feats  # unpadded: the dfs<=0 dense branch must see the
+        # true channel count or its conv_input params diverge from the XLA
+        # tile path's (ADVICE r4)
         if c0 < 16:  # pad input channels so kernel piece slices stay aligned
             feats = jnp.pad(feats, ((0, 0), (0, 0), (0, 16 - c0)))
         ty, tx = self.tile_size
@@ -1171,7 +1255,8 @@ class SpMiddleResNetFHD(nn.Module):
         dense_x = dense_mask = None
         if dfs <= 0:
             p0, kmask = TKK.build_state_batched(
-                feats, coords, ts, grid, ty, tx, tzs[0], TKK.t1p_of(tbud[0]))
+                feats_raw, coords, ts, grid, ty, tx, tzs[0],
+                TKK.t1p_of(tbud[0]))
             t1p = TKK.t1p_of(tbud[0])
             p = TKK.state_to_planes_batched(p0, b, t1p, tzs[0], tbud[0] + 1)
             mk = mask_to_planes(kmask, t1p, tzs[0], tbud[0] + 1)
@@ -1270,6 +1355,175 @@ class SpMiddleResNetFHD(nn.Module):
                 compute_dtype=self.dense_compute_dtype,
                 axis_name=an, name="extra_conv")(dense_x, dense_mask, train)
             bev = dense_to_bev(dense_x.astype(voxel_features.dtype))
+        return bev, multi_scale
+
+    def _plane_stage_wins(self):
+        pw = self.plane_window
+        if isinstance(pw, (tuple, list)):
+            assert len(pw) == 3, pw
+            return [(int(w), int(w)) if not isinstance(w, (tuple, list))
+                    else (int(w[0]), int(w[1])) for w in pw]
+        return [(int(pw), int(pw))] * 3
+
+    def _plane_down(self, name, state, mask, ts, grid, ch, pad, tz,
+                    tz_out, tbud, tbud_out, pbud_out, train):
+        """Strided transition between planek stages: plane rows -> chunk
+        planes (pure row permutation), chunk-layout strided conv
+        (TileDownsample / ops/tile_planes.downsample — parameter names
+        match SparseDownsample) -> the next stage's plane set/state."""
+        from ...ops import plane_conv as PK
+
+        b = ts.tile_pos.shape[0]
+        t1p_in = state.shape[0] // b
+        sb = state.reshape(b, t1p_in, -1)
+        mb = mask.reshape(b, t1p_in, 16).astype(state.dtype)
+        cts = jax.vmap(
+            lambda t: PK.chunk_set_of_planes(t, grid, tz, tbud))(ts)
+        self.sow("telemetry", "plane_chunk_drop", jnp.sum(cts.n_drop))
+        pocs = jax.vmap(
+            lambda ct, t: PK.plane_ranks_of_chunks(ct, t, grid, tz,
+                                                   t1p_in - 1))(cts, ts)
+        pch = jax.vmap(
+            lambda s, po: PK.plane_state_to_planes(s, po, tz))(sb, pocs)
+        mch = jax.vmap(
+            lambda m, po: PK.plane_state_to_planes(m, po, tz))(mb, pocs)
+        y, mo, tso, grid_out = TileDownsample(
+            ch, tz=tz, tz_out=tz_out, budget_out=tbud_out, padding=pad,
+            axis_name=self.axis_name,
+            compute_dtype=self.dense_compute_dtype,
+            name=f"{name}_down")(pch, mch, cts, grid, train)
+        t1p_out = PK.t1p_of(pbud_out)
+        pts = jax.vmap(
+            lambda m, t: PK.plane_set_from_chunk_mask(m, t, grid_out,
+                                                      tz_out, pbud_out)
+        )(mo, tso)
+        self.sow("telemetry", "plane_drop", jnp.sum(pts.n_drop))
+        cr = jax.vmap(
+            lambda pt, t: PK.chunk_ranks_of_planes(pt, t, grid_out,
+                                                   tz_out, tbud_out)
+        )(pts, tso)
+        st2 = jax.vmap(
+            lambda yy, c: PK.planes_to_plane_state(yy, c, t1p_out))(y, cr)
+        mk2 = jax.vmap(
+            lambda mm, c: PK.planes_to_plane_state(mm, c, t1p_out))(mo, cr)
+        return (st2.reshape(b * t1p_out, -1),
+                mk2.reshape(b * t1p_out, 16), pts, grid_out)
+
+    def _plane_forward(self, voxel_features, coords, train: bool):
+        """Active-plane Pallas engine ("plane") — the shipped fast path.
+
+        conv1 runs on the window engine (conv1 planes hold ~1.3 of 16
+        cells; the plane kernel only wins from conv2 where planes
+        densify — PERF.md round 5), conv2..conv4 run as fused
+        plane-level Pallas subm convs (ops/pallas/plane_block_kernel.py)
+        over occupied (by, bx, z) planes of 4x4 BEV tiles, with the
+        strided transitions on the XLA chunk-planes path
+        (ops/tile_planes.downsample) through exact row permutations.
+        Trainable end-to-end: the kernels run under a custom_vjp
+        (reference-vjp backward) with unfolded BatchNorm. Parameter tree
+        identical to the gather engine. Replaces the spconv consumption
+        of reference det3d/models/backbones/scn.py:89-185."""
+        from ...ops import plane_conv as PK
+        from ...ops import tile_conv as TLC
+        from ...ops import window_conv as WC
+
+        an = self.axis_name
+        coords = coords.astype(jnp.int32)
+        valid0 = jnp.all(coords >= 0, axis=-1)
+        feats = voxel_features * valid0[..., None].astype(
+            voxel_features.dtype)
+        b, v, _ = feats.shape
+        budgets = self.stage_budgets or (v, v, v, v)
+        grid = self.sparse_shape
+        cd = (jnp.dtype(self.dense_compute_dtype)
+              if self.dense_compute_dtype else jnp.dtype(feats.dtype))
+        wins_w = _stage_windows(self.win_window)
+        pwins = self._plane_stage_wins()
+
+        # ---- conv1 stage + conv2 downsample: window engine --------------
+        feats, coords, lin = jax.vmap(
+            lambda f, c: WC.sort_rows(f, c, grid))(feats, coords)
+        valid = lin < WC.MISS
+        plan1 = jax.vmap(
+            lambda l, c: WC.make_subm_plan_presorted(l, c, grid,
+                                                     window=wins_w[0])
+        )(lin, coords)
+        self.sow("telemetry", "win_resid", jnp.sum(plan1.n_resid))
+        feats = WinSubMStage((16,), axis_name=an, name="conv_input")(
+            feats, valid, plan1, train)
+        feats = WinBasicBlock(16, axis_name=an, name="conv1_0")(
+            feats, valid, plan1, train)
+        feats = WinBasicBlock(16, axis_name=an, name="conv1_1")(
+            feats, valid, plan1, train)
+        multi_scale = {"conv1": (SparseTensor(feats, coords, valid), grid)}
+        if self.stop_after == "conv1":
+            return None, multi_scale
+
+        feats, coords, lin, valid, grid = WinDownsample(
+            32, grid, (2, 2, 2), (1, 1, 1), ksize=(3, 3, 3),
+            out_budget=budgets[0], window=wins_w[1], axis_name=an,
+            name="conv2_down")(feats, coords, lin, train)
+
+        # ---- conv2..conv4: fused plane kernels ---------------------------
+        tzs = self.tile_tz
+        tbud = self.tile_budgets
+        pbud = self.plane_budgets
+        stages = [("conv2", 32, (1, 1, 1)), ("conv3", 64, (1, 1, 1)),
+                  ("conv4", 128, (0, 1, 1))]
+
+        state = mask = ts = None
+        for k, (name, ch, pad) in enumerate(stages):
+            t1p = PK.t1p_of(pbud[k])
+            if k == 0:
+                ts = jax.vmap(
+                    lambda c: PK.build_plane_set(c, grid, pbud[0])[0]
+                )(coords)
+                self.sow("telemetry", "plane_drop", jnp.sum(ts.n_drop))
+                state, mask = PK.build_plane_state_batched(
+                    feats.astype(cd), coords, ts, grid, t1p)
+            else:
+                state, mask, ts, grid = self._plane_down(
+                    name, state, mask, ts, grid, ch, pad,
+                    tz=tzs[k], tz_out=tzs[k + 1], tbud=tbud[k],
+                    tbud_out=tbud[k + 1], pbud_out=pbud[k], train=train)
+            plan = PK.make_plane_plan_batched(ts, t1p, *pwins[k])
+            self.sow("telemetry", "planek_miss", plan.n_miss)
+            nbr = PK.flat_neighbor_ranks(ts, t1p) if train else None
+            exports = (None if train else
+                       PK.make_plane_exports(state, state.shape[-1] // 16))
+            state, exports = PlaneKBlock(
+                ch, in_channels=ch, win=pwins[k], axis_name=an,
+                name=f"{name}_0")(state, exports, mask, plan, nbr, train)
+            state, exports = PlaneKBlock(
+                ch, in_channels=ch, win=pwins[k], axis_name=an,
+                name=f"{name}_1")(state, exports, mask, plan, nbr, train)
+            multi_scale[name] = ((state, mask, ts), grid)
+            if self.stop_after == name:
+                return None, multi_scale
+
+        # ---- extra_conv (z-only stride-2) + BEV --------------------------
+        tz4 = tzs[3]
+        t1p4 = PK.t1p_of(pbud[2])
+        sb = state.reshape(b, t1p4, -1)
+        mb = mask.reshape(b, t1p4, 16).astype(state.dtype)
+        cts = jax.vmap(
+            lambda t: PK.chunk_set_of_planes(t, grid, tz4, tbud[3]))(ts)
+        self.sow("telemetry", "plane_chunk_drop", jnp.sum(cts.n_drop))
+        pocs = jax.vmap(
+            lambda ct, t: PK.plane_ranks_of_chunks(ct, t, grid, tz4,
+                                                   t1p4 - 1))(cts, ts)
+        pch = jax.vmap(
+            lambda s, po: PK.plane_state_to_planes(s, po, tz4))(sb, pocs)
+        mch = jax.vmap(
+            lambda m, po: PK.plane_state_to_planes(m, po, tz4))(mb, pocs)
+        y, _ = TileZConv(128, d=grid[0], tz=tz4, axis_name=an,
+                         compute_dtype=self.dense_compute_dtype,
+                         name="extra_conv")(pch, mch, train)
+        g4 = ((grid[0] - 3) // 2 + 1, grid[1], grid[2])
+        dense = jax.vmap(
+            lambda bb, t: TLC.tiles_to_dense(bb, t, g4, bb.shape[1])
+        )(y, cts)
+        bev = dense_to_bev(dense.astype(voxel_features.dtype))
         return bev, multi_scale
 
     def _window_forward(self, voxel_features, coords, train: bool):

@@ -329,8 +329,10 @@ def plane_subm_pallas(state, exports, plan_ws, plan_tgt, wmm, scale16,
     Co = out_cols // (rows_per_mm * 4)
     co16 = 16 * Co
     wcap = (t1p // GRAN) * GRAN
-    W0 = min(W0, wcap)
-    WY = min(WY, wcap)
+    # keep in sync with plane_conv.make_plane_plan's rounding: windows are
+    # GRAN multiples so window starts clip exactly (no stranded tail ranks)
+    W0 = min(-(-W0 // GRAN) * GRAN, wcap)
+    WY = min(-(-WY // GRAN) * GRAN, wcap)
     dt = state.dtype
     eye = jnp.eye(BLK, dtype=jnp.float32)
     widths = cluster_widths(C)

@@ -24,6 +24,7 @@ Replaces the spconv rulebook role of the reference backbone
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Sequence, Tuple
 
 import jax
@@ -51,6 +52,41 @@ def plane_key(coords: jnp.ndarray, grid: Sequence[int]):
     return jnp.where(valid, key, TC.BIG), valid
 
 
+def _plane_nbr(tpos, tvalid, tmap, grid, budget):
+    """(T, 26) neighbor ranks in tile_conv.DIRS order: ONE batched tmap
+    gather instead of 26 (the per-direction gathers were a measurable
+    slice of the conv2 set build)."""
+    d, h, w = grid
+    nby, nbx = -(-h // 4), -(-w // 4)
+    nkey = nby * nbx * d
+    dirs = jnp.asarray(TC.DIRS, jnp.int32)                  # (26, 3)
+    zz = tpos[:, 0:1] + dirs[None, :, 0]
+    yy = tpos[:, 1:2] + dirs[None, :, 1]
+    xx = tpos[:, 2:3] + dirs[None, :, 2]
+    ok = (tvalid[:, None] & (zz >= 0) & (zz < d) & (yy >= 0) & (yy < nby)
+          & (xx >= 0) & (xx < nbx))
+    k = jnp.where(ok, (yy * nbx + xx) * d + zz, nkey)
+    return jnp.where(ok, tmap[k], budget).astype(jnp.int32)
+
+
+def _plane_set_from_keys(keys: jnp.ndarray, grid: Sequence[int],
+                         budget: int) -> TC.TileSet:
+    """Compact (by, bx, z) plane keys (BIG = absent) into a plane TileSet:
+    lexicographic rank order, (z, by, bx) tile_pos rows, 26-direction
+    neighbor table in tile_conv.DIRS order."""
+    d, h, w = grid
+    nby, nbx = -(-h // 4), -(-w // 4)
+    nkey = nby * nbx * d
+    tid, tvalid, tmap, n_tiles = TC._compact_keys(keys, budget, nkey)
+    t = jnp.maximum(tid, 0)
+    by, bx, z = t // (nbx * d), (t // d) % nbx, t % d
+    tpos = jnp.where(tvalid[:, None], jnp.stack([z, by, bx], -1),
+                     -1).astype(jnp.int32)
+    nbr = _plane_nbr(tpos, tvalid, tmap, grid, budget)
+    n_drop = jnp.maximum(n_tiles - budget, 0)
+    return TC.TileSet(tpos, tvalid, nbr, tmap, n_tiles, n_drop)
+
+
 def build_plane_set(coords: jnp.ndarray, grid: Sequence[int], budget: int
                     ) -> Tuple[TC.TileSet, jnp.ndarray]:
     """Occupied-plane set in (by, bx, z) rank order. Returns
@@ -66,20 +102,59 @@ def build_plane_set(coords: jnp.ndarray, grid: Sequence[int], budget: int
     by, bx, z = t // (nbx * d), (t // d) % nbx, t % d
     tpos = jnp.where(tvalid[:, None], jnp.stack([z, by, bx], -1),
                      -1).astype(jnp.int32)
-    nbrs = []
-    for dz, dy, dx in TC.DIRS:
-        zz, yy, xx = tpos[:, 0] + dz, tpos[:, 1] + dy, tpos[:, 2] + dx
-        ok = (tvalid & (zz >= 0) & (zz < d) & (yy >= 0) & (yy < nby)
-              & (xx >= 0) & (xx < nbx))
-        k = jnp.where(ok, (yy * nbx + xx) * d + zz, nkey)
-        nbrs.append(jnp.where(ok, tmap[k], budget))
-    nbr = jnp.stack(nbrs, axis=-1).astype(jnp.int32)
+    nbr = _plane_nbr(tpos, tvalid, tmap, grid, budget)
 
     rank = tmap[jnp.where(valid, key, nkey)]
     in_set = valid & (rank < budget)
     n_drop = jnp.sum((valid & ~in_set).astype(jnp.int32))
     ts = TC.TileSet(tpos, tvalid, nbr, tmap, n_tiles, n_drop)
     return ts, in_set
+
+
+def plane_set_from_chunk_mask(mask: jnp.ndarray, ts_chunk: TC.TileSet,
+                              grid: Sequence[int], tz: int,
+                              budget: int) -> TC.TileSet:
+    """Occupied-plane set of a chunk-layout stage output (the downsample
+    emits chunk planes; the next planek stage needs a plane set).
+
+    mask (N=(T+1)*tz, ty, tx, 1) chunk-planes occupancy (phantom row
+    last); ts_chunk the chunk TileSet ((bz, by, bx) tile_pos). A plane
+    (by, bx, z) is occupied iff any cell of its chunk row is active."""
+    d = grid[0]
+    n = mask.shape[0]
+    t1 = n // tz
+    tpos = ts_chunk.tile_pos                                 # (T, 3)
+    nby, nbx = -(-grid[1] // 4), -(-grid[2] // 4)
+    occ = jnp.any(mask.reshape(t1, tz, -1) > 0, axis=-1)[:t1 - 1]  # (T, tz)
+    z = tpos[:, 0:1] * tz + jnp.arange(tz, dtype=jnp.int32)[None, :]
+    ok = occ & (tpos[:, 0:1] >= 0) & (z < d)
+    key = (tpos[:, 1:2] * nbx + tpos[:, 2:3]) * d + z
+    keys = jnp.where(ok, key, TC.BIG).reshape(-1)
+    return _plane_set_from_keys(keys, grid, budget)
+
+
+def chunk_set_of_planes(plane_ts: TC.TileSet, grid: Sequence[int], tz: int,
+                        budget_t: int) -> TC.TileSet:
+    """Chunk (z-major tz-chunk) TileSet covering a plane set — the
+    downsample (ops/tile_planes.downsample) runs in the chunk-planes
+    layout, so each planek stage transition derives the chunk set its
+    planes occupy. Ranks are lexicographic (bz, by, bx) like
+    tile_conv.build_tile_set's."""
+    nbz, nby, nbx = TC.tile_counts(grid, 4, 4, tz)
+    ppos = plane_ts.tile_pos                                 # (P, 3) z,by,bx
+    ok = ppos[:, 0] >= 0
+    key = ((ppos[:, 0] // tz) * nby + ppos[:, 1]) * nbx + ppos[:, 2]
+    keys = jnp.where(ok, key, TC.BIG)
+    tid, tvalid, tmap, n_tiles = TC._compact_keys(keys, budget_t,
+                                                  nbz * nby * nbx)
+    t = jnp.maximum(tid, 0)
+    tpos = jnp.where(
+        tvalid[:, None],
+        jnp.stack([t // (nby * nbx), (t // nbx) % nby, t % nbx], -1),
+        -1).astype(jnp.int32)
+    nbr = TC._neighbor_ranks(tpos, tvalid, tmap, nbz, nby, nbx, budget_t)
+    n_drop = jnp.maximum(n_tiles - budget_t, 0)
+    return TC.TileSet(tpos, tvalid, nbr, tmap, n_tiles, n_drop)
 
 
 # ---------------------------------------------------------------------------
@@ -91,30 +166,36 @@ def build_wrows(w: jnp.ndarray, rows_per_mm: int = 1) -> jnp.ndarray:
     in_rows*6C, rows_per_mm*4Co) per-(source, row-group) matrices.
     Source order [mid(kz=1), zm(kz=0), zp(kz=2)] matches the kernel's h3
     layout; out(y, x) += in_halo(y+ky, x+kx) * w[kz, ky, kx] (the same
-    cross-correlation convention as ops/tile_kernel.build_whalo)."""
+    cross-correlation convention as ops/tile_kernel.build_whalo).
+    jit-traceable (w may be a flax param): static index lists + one
+    scatter-add."""
     c, co = w.shape[1], w.shape[2]
-    wk = np.asarray(w).reshape(3, 3, 3, c, co)
+    wk = w.reshape(3, 3, 3, c, co)
     n_groups = 4 // rows_per_mm
     in_rows = 2 + rows_per_mm
-    out = np.zeros((3, n_groups, in_rows * 6 * c, rows_per_mm * 4 * co),
-                   wk.dtype)
     kz_of_src = (1, 0, 2)
+    i_s, i_g, i_a, i_b, i_kz, i_ky, i_kx = [], [], [], [], [], [], []
     for s in range(3):
-        kz = kz_of_src[s]
         for g in range(n_groups):
-            y0 = g * rows_per_mm
             for j in range(rows_per_mm):
-                y = y0 + j
                 for ky in range(3):
                     for kx in range(3):
                         for x in range(4):
-                            r_loc = j + ky
-                            cin0 = (r_loc * 6 + x + kx) * c
-                            cout0 = (j * 4 + x) * co
-                            out[s, g, cin0:cin0 + c, cout0:cout0 + co] += \
-                                wk[kz, ky, kx]
-    return jnp.asarray(out.reshape(3 * n_groups, in_rows * 6 * c,
-                                   rows_per_mm * 4 * co))
+                            i_s.append(s)
+                            i_g.append(g)
+                            i_a.append((j + ky) * 6 + x + kx)
+                            i_b.append(j * 4 + x)
+                            i_kz.append(kz_of_src[s])
+                            i_ky.append(ky)
+                            i_kx.append(kx)
+    taps = wk[jnp.asarray(i_kz), jnp.asarray(i_ky), jnp.asarray(i_kx)]
+    out = jnp.zeros((3, n_groups, in_rows * 6, rows_per_mm * 4, c, co),
+                    w.dtype)
+    out = out.at[jnp.asarray(i_s), jnp.asarray(i_g), jnp.asarray(i_a),
+                 jnp.asarray(i_b)].add(taps)
+    out = out.transpose(0, 1, 2, 4, 3, 5)
+    return out.reshape(3 * n_groups, in_rows * 6 * c,
+                       rows_per_mm * 4 * co)
 
 
 # ---------------------------------------------------------------------------
@@ -144,8 +225,10 @@ def make_plane_plan(ts: TC.TileSet, t1p: int, w0: int, wy: int,
     budget = ts.tile_pos.shape[0]
     nb = t1p // BLK
     wcap = (t1p // GRAN) * GRAN
-    w0 = min(w0, wcap)
-    wy = min(wy, wcap)
+    # round windows UP to a GRAN multiple so t1p - w stays GRAN-aligned
+    # and the flooring clip below cannot strand tail ranks (ADVICE r4)
+    w0 = min(-(-w0 // GRAN) * GRAN, wcap)
+    wy = min(-(-wy // GRAN) * GRAN, wcap)
 
     rows = [None] * 27
     for dz in (-1, 0, 1):
@@ -340,3 +423,128 @@ def plane_state_to_planes(state, plane_of_chunk, tz):
     idx = jnp.minimum(plane_of_chunk.reshape(-1), t1p)
     out = rows[idx]
     return out.reshape(-1, 4, 4, c16 // 16)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference + trainable wrapper (custom_vjp: fast Pallas forward,
+# reference-vjp backward — the window-engine pattern, ops/window_conv.py)
+# ---------------------------------------------------------------------------
+
+def plane_subm_reference(state, nbr, w, mask16=None):
+    """Pure-XLA reference of the plane-level subm conv's LINEAR part
+    (conv + output mask; no bias/BN/ReLU): gathers each plane's 26
+    neighbor rows via the TileSet neighbor table, assembles the three
+    row-major 6x6 halo planes, and runs one VALID 2D conv per z-source.
+
+    state (T1p, 16C) plane rows; nbr (budget, 26) neighbor ranks in
+    tile_conv.DIRS order (budget = absent; rows >= budget are zero by
+    construction); w (27, C, Co) z-major taps. Same math as
+    plane_block_kernel (parity-pinned in tests/test_plane_kernel.py);
+    used as the custom_vjp backward of ``pk_subm_conv_train`` and as a
+    grad oracle."""
+    t1p, c16 = state.shape
+    c = c16 // 16
+    co = w.shape[2]
+    budget = nbr.shape[0]
+    sv = state.reshape(t1p, 16, c)
+    nbrp = (nbr if budget == t1p else jnp.pad(
+        nbr, ((0, t1p - budget), (0, 0)), constant_values=budget))
+    wk = w.reshape(3, 3, 3, c, co)
+    out = None
+    for kz in range(3):
+        dz = kz - 1
+        h = jnp.zeros((t1p, 6, 6, c), state.dtype)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dz, dy, dx) == (0, 0, 0):
+                    src = sv
+                else:
+                    r = nbrp[:, TC_DIR_IDX[(dz, dy, dx)]]
+                    src = sv[jnp.minimum(r, t1p - 1)]
+                cells = export_cells(dy, dx)
+                piece = src[:, jnp.asarray(cells, jnp.int32)]
+                if dy == 0 and dx == 0:
+                    h = h.at[:, 1:5, 1:5].set(piece.reshape(t1p, 4, 4, c))
+                elif dy == 0:
+                    xp = 0 if dx == -1 else 5
+                    h = h.at[:, 1:5, xp].set(piece)
+                elif dx == 0:
+                    yp = 0 if dy == -1 else 5
+                    h = h.at[:, yp, 1:5].set(piece)
+                else:
+                    yp = 0 if dy == -1 else 5
+                    xp = 0 if dx == -1 else 5
+                    h = h.at[:, yp, xp].set(piece[:, 0])
+        y = jax.lax.conv_general_dilated(
+            h, wk[kz].astype(state.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = y if out is None else out + y
+    out = out.reshape(t1p, 16 * co)
+    if mask16 is not None:
+        out = out * mask16.astype(out.dtype)
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _plane_core(win, interpret, state, w, mask16, plan, nbr):
+    """Linear plane subm conv (masked, no epilogue) with a custom vjp.
+
+    Forward = the fused Pallas kernel (identity scale, zero shift, no
+    ReLU); backward = the vjp of ``plane_subm_reference`` (same math) —
+    the Mosaic kernel has no transpose rule, so this is what makes the
+    plane engine trainable. plan/nbr are real arguments (float0
+    cotangents), like the window engine's ConvPlan."""
+    co = w.shape[2]
+    if interpret or jax.default_backend() != "tpu":
+        return plane_subm_reference(state, nbr, w, mask16)
+    exports = make_plane_exports(state, state.shape[-1] // 16)
+    sc = jnp.ones((1, 16 * co), jnp.float32)
+    sh = jnp.zeros((1, 16 * co), jnp.float32)
+    out, _ = plane_subm_pallas(
+        state, exports, plan.ws, plan.tgt, build_wrows(
+            w, 2 if 4 * co < 128 else 1).astype(state.dtype),
+        sc, sh, mask16, None, relu=False, W0=win[0], WY=win[1],
+        interpret=False)
+    return out
+
+
+def _plane_core_fwd(win, interpret, state, w, mask16, plan, nbr):
+    return _plane_core(win, interpret, state, w, mask16, plan, nbr), (
+        state, w, mask16, plan, nbr)
+
+
+def _plane_core_bwd(win, interpret, res, g):
+    state, w, mask16, plan, nbr = res
+    _, vjp = jax.vjp(
+        lambda s, wt: plane_subm_reference(s, nbr, wt, mask16), state, w)
+    ds, dw = vjp(g)
+    f0 = lambda x: np.zeros(np.shape(x), jax.dtypes.float0)  # noqa: E731
+    dplan = jax.tree_util.tree_map(f0, plan)
+    return ds, dw, jnp.zeros_like(mask16), dplan, f0(nbr)
+
+
+_plane_core.defvjp(_plane_core_fwd, _plane_core_bwd)
+
+
+def flat_neighbor_ranks(ts: TC.TileSet, t1p: int) -> jnp.ndarray:
+    """Batched TileSet -> (B*T1p, 26) GLOBAL neighbor ranks for the
+    flattened plane-state layout consumed by ``plane_subm_reference``
+    (absent neighbors point at the sample's first always-zero row,
+    rank ``budget``)."""
+    b, budget = ts.nbr.shape[0], ts.nbr.shape[1]
+    offs = jnp.arange(b, dtype=jnp.int32)[:, None, None] * t1p
+    n = jnp.minimum(ts.nbr, budget)
+    n = jnp.pad(n, ((0, 0), (0, t1p - budget), (0, 0)),
+                constant_values=budget)
+    return (n + offs).reshape(b * t1p, 26)
+
+
+def pk_subm_conv_train(state, plan: PKPlan, nbr, w, mask16, *, w0=128,
+                       wy=128, interpret=None):
+    """Trainable plane subm conv: masked linear conv only (bias/BN/ReLU/
+    residual are applied by the caller so train-mode BatchNorm sees raw
+    conv outputs). Fast Pallas forward, reference-vjp backward."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _plane_core((w0, wy), bool(interpret), state, w, mask16, plan,
+                       nbr)

@@ -369,10 +369,20 @@ def downsample(y: jnp.ndarray, mask: jnp.ndarray, ts: TC.TileSet,
     zplo = jnp.clip(-(-(zlo_in + pz - kz + 1) // 2), 0, d_out - 1)
     zphi = jnp.clip((zlo_in + tz - 1 + pz) // 2, 0, d_out - 1)
     byo, bxo = ts.tile_pos[:, 1] // 2, ts.tile_pos[:, 2] // 2
+    # a stride-2 k3 output of an input row at the tile's high edge lands
+    # in the NEXT output tile (in_y = 4by+3 reaches y' = 2by+2, tile
+    # (by+1)//2 != by//2 for odd by): enumerate BOTH y/x candidates or
+    # those outputs are silently lost next to empty tiles (round-5 fix;
+    # the input-voxel enumeration of ops/sparse_conv is the oracle)
+    byo2 = (ts.tile_pos[:, 1] + 1) // 2
+    bxo2 = (ts.tile_pos[:, 2] + 1) // 2
     cand = []
     for zp_ in (zplo, zphi):
-        k_ = ((zp_ // tz_out) * nbyo + byo) * nbxo + bxo
-        cand.append(jnp.where(ts.valid, k_, TC.BIG))
+        for yc in (byo, byo2):
+            for xc in (bxo, bxo2):
+                ok = ts.valid & (yc < nbyo) & (xc < nbxo)
+                k_ = ((zp_ // tz_out) * nbyo + yc) * nbxo + xc
+                cand.append(jnp.where(ok, k_, TC.BIG))
     tid, tvalid, tmap_out, n_out = TC._compact_keys(
         jnp.concatenate(cand), budget_out, nbzo * nbyo * nbxo)
     t = jnp.maximum(tid, 0)

@@ -765,6 +765,191 @@ def bench_planek_stages():
         grid, coords = grid_out, oc
 
 
+def bench_planek_chain():
+    """End-to-end planek backbone prototype: conv2..conv4 as fused plane
+    kernels with chunk-glue downsamples between stages (plane state ->
+    chunk planes -> tile_planes.downsample -> next plane set/state) and
+    the extra conv + BEV scatter at the end. conv1 and the conv1->conv2
+    downsample stay on the window engine (conv1 planes hold ~1.3 of 16
+    cells — measured 7.6 ms/conv planek vs 3.85 window); this suite
+    starts from the conv1->conv2 active set and measures every piece the
+    round-5 'plane' engine ships. All prep is sort-free (_compact_keys
+    via occupancy cumsum)."""
+    from ..ops import plane_conv as PK
+    from ..ops import tile_planes as TP
+    from ..ops import tile_conv as TLC
+    from ..ops import window_conv as WC
+    from .profile_model import synth_voxels
+
+    rng = np.random.RandomState(0)
+    grid1 = (41, 1504, 1504)
+    _, coords_np = synth_voxels(150000)
+    coords1 = jnp.asarray(coords_np[0])
+
+    grid2 = tuple((g + 2 * p - k) // s + 1 for g, p, k, s in
+                  zip(grid1, (1, 1, 1), (3, 3, 3), (2, 2, 2)))
+    oc, _ = jax.jit(lambda c: WC.downsample_active_set_yxz(
+        c, jnp.all(c >= 0, -1), grid1, grid2, (2, 2, 2), (1, 1, 1),
+        (3, 3, 3), 320000))(coords1)
+
+    # (name, grid, C, plane_budget, chunk tz, chunk budget,
+    #  [down: pad, tz_out, chunk_budget_out, Cout])
+    P2, P3, P4 = 80000 - 128, 26000 - 80, 6400 - 128
+    cfg = [
+        ("conv2", grid2, 32, P2, 4, 36000, ((1, 1, 1), 2, 14000, 64)),
+        ("conv3", None, 64, P3, 2, 14000, ((0, 1, 1), 6, 2400, 128)),
+        ("conv4", None, 128, P4, 6, 2400, None),
+    ]
+
+    dt = jnp.bfloat16
+    grid = grid2
+    state = mask = ts = None
+    t1p = None
+
+    # ---- conv2 entry: plane set + state from downsampled coords --------
+    c2 = cfg[0][2]
+    t1p = PK.t1p_of(P2)
+    feats0 = jnp.asarray(rng.randn(oc.shape[0], c2).astype(np.float32))
+    feats0 = (feats0 * jnp.all(oc >= 0, -1)[:, None]).astype(dt)
+
+    def entry(coords, feats):
+        ts, _ = PK.build_plane_set(coords, grid2, P2)
+        st, mk = PK.build_plane_state(feats, coords, ts, grid2, t1p)
+        return ts, st, mk
+
+    jentry = jax.jit(entry)
+    ts, state, mask = jentry(oc, feats0)
+    print(f"  conv2 planes={int(ts.n_tiles)} drop={int(ts.n_drop)}",
+          flush=True)
+
+    def step_entry(carry, i, coords, feats):
+        c2_ = jnp.where(i >= 0, coords, 0)
+        ts_, st_, mk_ = entry(c2_, feats)
+        s = (jnp.sum(st_.astype(jnp.float32)) * 1e-20
+             + jnp.sum(mk_).astype(jnp.float32) * 1e-20 + carry * 1e-20)
+        return s, s
+
+    report("  conv2 plane set+state build (nosort)",
+           timed_scan_args(step_entry, (oc, feats0), 2, 6))
+
+    total = 0.0
+    for si, (name, _, c, pbud, tzc, tbud, down) in enumerate(cfg):
+        t1p = PK.t1p_of(pbud)
+        if si > 0:
+            print(f"  {name} planes={int(ts.n_tiles)} drop={int(ts.n_drop)}",
+                  flush=True)
+        w = jnp.asarray(rng.randn(27, c, c).astype(np.float32) * 0.1)
+        plan = jax.jit(lambda t: PK.make_plane_plan(t, t1p, w0=128,
+                                                    wy=128))(ts)
+        print(f"  {name} plan miss={int(plan.n_miss)}", flush=True)
+        exports = jax.jit(lambda s: PK.make_plane_exports(s, c))(state)
+        sc16, sh16 = PK.fold_epilogue(c)
+        mask16 = PK.expand_mask(mask, c).astype(dt)
+
+        def stage4(st, exp, plan, mask16, w=w, sc16=sc16, sh16=sh16):
+            for _ in range(4):
+                st, exp = PK.pk_subm_conv(st, exp, plan, w, sc16, sh16,
+                                          mask16, relu=True, w0=128, wy=128,
+                                          interpret=False)
+            return st
+
+        def step_stage(carry, i, st, exp, plan, mask16):
+            stt = st + i.astype(st.dtype) * jnp.asarray(1e-8, st.dtype)
+            out = stage4(stt, exp, plan, mask16)
+            s = jnp.sum(out.astype(jnp.float32)) * 1e-20
+            return carry + s, s
+
+        secs = timed_scan_args(step_stage, (state, exports, plan, mask16),
+                               2, 6)
+        report(f"  {name} stage (4 fused convs)", secs)
+        total += secs
+        state = jax.jit(
+            lambda st, exp, plan, mask16: stage4(st, exp, plan, mask16)
+        )(state, exports, plan, mask16)
+
+        if down is None:
+            break
+        pad, tz_out, tbud_out, cout = down
+        wd = jnp.asarray(
+            rng.randn(27, c, cout).astype(np.float32) * 0.1).astype(dt)
+        grid_out = tuple((g + 2 * p - 3) // 2 + 1
+                         for g, p in zip(grid, pad))
+        pbud_out = cfg[si + 1][3]
+        t1p_out = PK.t1p_of(pbud_out)
+
+        def glue_down(st, mk, ts, wd, grid=grid, tzc=tzc, tbud=tbud,
+                      pad=pad, tz_out=tz_out, tbud_out=tbud_out,
+                      pbud_out=pbud_out, t1p_out=t1p_out, t1p=t1p):
+            cts = PK.chunk_set_of_planes(ts, grid, tzc, tbud)
+            pocs = PK.plane_ranks_of_chunks(cts, ts, grid, tzc, t1p - 1)
+            pch = PK.plane_state_to_planes(st, pocs, tzc)
+            mch = PK.plane_state_to_planes(
+                mk.astype(st.dtype), pocs, tzc)[..., :1]
+            # mask16 is 16-wide occupancy; rebuild (N, 4, 4, 1)
+            mch = PK.plane_state_to_planes(
+                mk.astype(st.dtype), pocs, tzc).reshape(
+                -1, 4, 4, 1)
+            yo, mo, tso, go, miss = TP.downsample(
+                pch, mch, cts, grid, wd, (3, 3, 3), pad, tzc, tz_out,
+                tbud_out, compute_dtype=None)
+            pts = PK.plane_set_from_chunk_mask(mo, tso, go, tz_out,
+                                               pbud_out)
+            cr = PK.chunk_ranks_of_planes(pts, tso, go, tz_out, tbud_out)
+            st2 = PK.planes_to_plane_state(yo, cr, t1p_out)
+            mk2 = PK.planes_to_plane_state(mo, cr, t1p_out).reshape(
+                t1p_out, 16)
+            return pts, st2, mk2, miss
+
+        jglue = jax.jit(glue_down)
+        ts2, state2, mask2, miss = jglue(state, mask, ts, wd)
+        print(f"  {name}_down miss={int(miss)}", flush=True)
+
+        def step_down(carry, i, st, mk, ts, wd):
+            stt = st + i.astype(st.dtype) * jnp.asarray(1e-8, st.dtype)
+            _, st2, mk2, _ = glue_down(stt, mk, ts, wd)
+            s = (jnp.sum(st2.astype(jnp.float32)) * 1e-20
+                 + jnp.sum(mk2.astype(jnp.float32)) * 1e-20)
+            return carry + s, s
+
+        secs = timed_scan_args(step_down, (state, mask, ts, wd), 2, 6)
+        report(f"  {name}_down glue+downsample", secs)
+        total += secs
+        ts, state, mask = ts2, state2, mask2
+        grid = grid_out
+
+    # ---- extra conv + BEV ----------------------------------------------
+    wz = jnp.asarray(rng.randn(3, 128, 128).astype(np.float32) * 0.1)
+
+    def extra(st, mk, ts, wz, grid=grid):
+        tzc = 6
+        cts = PK.chunk_set_of_planes(ts, grid, tzc, 2400)
+        pocs = PK.plane_ranks_of_chunks(cts, ts, grid, tzc, st.shape[0] - 1)
+        pch = PK.plane_state_to_planes(st, pocs, tzc)
+        mch = PK.plane_state_to_planes(mk.astype(st.dtype), pocs,
+                                       tzc).reshape(-1, 4, 4, 1)
+        y, m = TP.zconv(pch, mch, wz.astype(st.dtype), grid[0], tzc)
+        g4 = ((grid[0] - 3) // 2 + 1, grid[1], grid[2])
+        dense = TLC.tiles_to_dense(y, cts, g4, y.shape[1])
+        b, d, h, ww, cc = 1, *dense.shape
+        return jnp.transpose(dense, (1, 2, 3, 0)).reshape(h, ww, cc * d)
+
+    jextra = jax.jit(extra)
+    bev = jextra(state, mask, ts, wz)
+    print(f"  bev shape={bev.shape}", flush=True)
+
+    def step_extra(carry, i, st, mk, ts, wz):
+        stt = st + i.astype(st.dtype) * jnp.asarray(1e-8, st.dtype)
+        out = extra(stt, mk, ts, wz)
+        s = jnp.sum(out.astype(jnp.float32)) * 1e-20
+        return carry + s, s
+
+    secs = timed_scan_args(step_extra, (state, mask, ts, wz), 2, 6)
+    report("  extra conv + BEV", secs)
+    total += secs
+    print(f"  == chain total (excl. conv1 + conv2 entry): "
+          f"{total*1e3:.1f} ms ==", flush=True)
+
+
 def _planek_build(PK, coords, feats, grid, budget, t1p, cin):
     ts, _ = PK.build_plane_set(coords, grid, budget)
     state, mask = PK.build_plane_state(feats, coords, ts, grid, t1p)
@@ -772,6 +957,7 @@ def _planek_build(PK, coords, feats, grid, budget, t1p, cin):
 
 
 SUITES = {
+    "planek_chain": bench_planek_chain,
     "window_ref": bench_window_ref,
     "planek_stages": bench_planek_stages,
     "window_stages": bench_window_stages,

@@ -81,6 +81,13 @@ def main():
                    help='"pallas" = fused tile-block kernel (eval path)')
     p.add_argument("--tilek_window", default="256",
                    help="rank-window tiles: one int or per-stage w0:wz,...")
+    p.add_argument("--plane_budgets", default="80000,26000,6400",
+                   help="plane engine: occupied-plane budgets conv2..conv4")
+    p.add_argument("--plane_window", default="128",
+                   help="plane engine rank-window rows: int or per-stage "
+                        "w0:wy,...")
+    p.add_argument("--win_window", default="384",
+                   help="window engine rank rows: int or per-stage list")
     args = p.parse_args()
 
     import jax
@@ -95,12 +102,21 @@ def main():
 
     budgets = (tuple(int(x) for x in args.budgets.split(","))
                if args.budgets else None)
-    if "," in args.tilek_window:
-        tkw = tuple(
-            tuple(int(v) for v in w.split(":")) if ":" in w else int(w)
-            for w in args.tilek_window.split(","))
-    else:
-        tkw = int(args.tilek_window)
+    def parse_wins(spec):
+        """'W' | 'w0:w1' | comma list mixing both (ADVICE r4: a single
+        'w0:w1' spec must parse without a comma)."""
+        if "," in spec or ":" in spec:
+            return tuple(
+                tuple(int(v) for v in w.split(":")) if ":" in w else int(w)
+                for w in spec.split(","))
+        return int(spec)
+
+    tkw = parse_wins(args.tilek_window)
+    pw = parse_wins(args.plane_window)
+    ww = parse_wins(args.win_window)
+    if isinstance(ww, tuple):
+        ww = tuple(int(w) if not isinstance(w, tuple) else int(w[0])
+                   for w in ww)
     feats, coords = synth_voxels(args.voxels)
     featsj, coordsj = jnp.asarray(feats), jnp.asarray(coords)
 
@@ -118,7 +134,11 @@ def main():
                                tile_budgets=tuple(int(x) for x in
                                                   args.tile_budgets.split(",")),
                                tile_backend=args.tile_backend,
-                               tilek_window=tkw)
+                               tilek_window=tkw,
+                               plane_budgets=tuple(
+                                   int(x) for x in
+                                   args.plane_budgets.split(",")),
+                               plane_window=pw, win_window=ww)
         variables = jax.jit(lambda: bb.init(jax.random.PRNGKey(0), featsj,
                                             coordsj, False))()
 

@@ -69,6 +69,23 @@ def test_tilek_init_tree_matches():
             assert a.shape == b2.shape, (pa, a.shape, b2.shape)
 
 
+def test_tilek_init_tree_matches_dfs0():
+    """dfs=0 (fully dense): conv_input must see the raw channel count,
+    not the kernel's 16-channel padding (ADVICE r4)."""
+    feats, coords = scene(1)
+    v_ref = make("xla", dfs=0).init(jax.random.PRNGKey(0), feats, coords,
+                                    False)
+    v_k = make("pallas", dfs=0).init(jax.random.PRNGKey(0), feats, coords,
+                                     False)
+    for coll in ("params", "batch_stats"):
+        assert (jax.tree_util.tree_structure(v_ref[coll])
+                == jax.tree_util.tree_structure(v_k[coll])), coll
+        for (pa, a), (pb, b2) in zip(
+                jax.tree_util.tree_leaves_with_path(v_ref[coll]),
+                jax.tree_util.tree_leaves_with_path(v_k[coll])):
+            assert a.shape == b2.shape, (pa, a.shape, b2.shape)
+
+
 def test_tilek_dense_tail():
     """dfs=2: tile kernel for conv1-2, dense stages after — parity again."""
     feats, coords = scene(2)
