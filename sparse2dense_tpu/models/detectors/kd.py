@@ -89,6 +89,73 @@ def rasterize_mean_points(voxels, num_points, coords, grid):
     )
 
 
+def world_centers(coords, grid_shape, pc_range_full, dtype=jnp.float32):
+    """(B, V, 3) xyz world cell centers of zyx integer coords — the
+    per-voxel form of ``world_grid`` (same half-cell formulas)."""
+    d, h, w = grid_shape
+    x0, y0, z0, x1, y1, z1 = pc_range_full
+    sx, sy, sz = (x1 - x0) / w, (y1 - y0) / h, (z1 - z0) / d
+    cx = coords[..., 2].astype(dtype) * sx + x0 + sx / 2
+    cy = coords[..., 1].astype(dtype) * sy + y0 + sy / 2
+    cz = coords[..., 0].astype(dtype) * sz + z0 + sz / 2
+    return jnp.stack([cx, cy, cz], axis=-1)
+
+
+def rasterize_pcr_targets_folded(voxels, num_points, coords, grid_shape,
+                                 pc_range_full, dtype=jnp.float32):
+    """FOLDED PCR targets: (gt_off (B,H,W,D*3), occ (B,H,W,D)).
+
+    Exactly the `rasterize_mean_points` + grid/ind math of the 5D
+    ``mask_offset_loss`` (reference voxelnet.py:171-185), but the offset
+    target mean_xyz - cell_center*occ is computed PER VOXEL before the
+    scatter, so no narrow-minor (…, 3) or (…, C) dense tensor ever
+    materializes (those pad 42x on TPU; see PERF.md)."""
+    d, h, w = grid_shape
+    mean = jnp.sum(voxels, axis=-2) / jnp.maximum(num_points, 1).astype(
+        voxels.dtype)[..., None]
+    valid = jnp.all(coords >= 0, axis=-1)
+    mean = mean * valid[..., None].astype(mean.dtype)
+    featsum = jnp.sum(mean, axis=-1)
+    occv = (featsum != 0) & valid  # 5D path: gt_mask = sum_C(gt) != 0
+    centers = world_centers(coords, grid_shape, pc_range_full, dtype)
+    off = (mean[..., :3].astype(dtype)
+           - centers * occv[..., None].astype(dtype))
+    off = off * valid[..., None].astype(dtype)
+
+    coords = coords.astype(jnp.int32)
+
+    def one(off_r, occ_r, c_r, v_r):
+        z = jnp.where(v_r, c_r[:, 0], 0)
+        row = jnp.where(v_r, c_r[:, 1] * w + c_r[:, 2], h * w)  # OOB drops
+        canvas = jnp.zeros((h * w, d * 3), dtype)
+        cols = z[:, None] * 3 + jnp.arange(3, dtype=jnp.int32)[None, :]
+        canvas = canvas.at[row[:, None], cols].set(off_r, mode="drop")
+        occ = jnp.zeros((h * w, d), dtype)
+        occ = occ.at[row, z].set(occ_r.astype(dtype), mode="drop")
+        return canvas.reshape(h, w, d * 3), occ.reshape(h, w, d)
+
+    return jax.vmap(one)(off, occv, coords, valid)
+
+
+def mask_offset_loss_folded(gen_offset_f, gen_mask_f, gt_off_f, occ):
+    """Folded-layout mask_offset_loss: gen_offset_f (B,H,W,D*3),
+    gen_mask_f (B,H,W,D), targets from ``rasterize_pcr_targets_folded``.
+    Identical reductions to the 5D form (pinned in tests/test_pcr_folded.py);
+    reference voxelnet.py:171-185."""
+    z = occ.astype(gen_mask_f.dtype)
+    count_pos = jnp.maximum(jnp.sum(z), 1.0)
+    count_neg = jnp.sum(1.0 - z)
+    beta = count_neg / count_pos
+    bce = beta * z * jax.nn.softplus(-gen_mask_f) \
+        + (1.0 - z) * jax.nn.softplus(gen_mask_f)
+    loss = jnp.mean(bce)
+
+    ind = (gt_off_f != 0).astype(gen_offset_f.dtype)
+    n = jnp.maximum(jnp.sum(ind), 1.0)
+    com_loss = jnp.sum(jnp.abs(gen_offset_f - gt_off_f) * ind) / n
+    return loss, com_loss
+
+
 @DETECTORS.register_module
 class KD_VoxelNet(nn.Module):
     reader: nn.Module
@@ -134,20 +201,20 @@ class KD_VoxelNet(nn.Module):
 
     # pure post-hoc functions (no params) ------------------------------------
     def pcr_loss(self, out, example):
-        """(mask_loss, offset_loss) vs the /2 and /4 reconstruction streams."""
+        """(mask_loss, offset_loss) vs the /2 and /4 reconstruction streams.
+        PCR outputs are z-folded: gen_offset (B,H,W,D*3), gen_mask (B,H,W,D)."""
         losses = []
         for tag in ("2", "4"):
             go = out[f"gen_offset_{tag}"]
             gm = out[f"gen_mask_{tag}"]
-            grid_shape = tuple(go.shape[1:4])  # (D,H,W) of the generator output
-            gt = rasterize_mean_points(
+            grid_shape = (gm.shape[3], gm.shape[1], gm.shape[2])  # (D,H,W)
+            gt_off, occ = rasterize_pcr_targets_folded(
                 example[f"reconstruction_voxels_{tag}"],
                 example[f"reconstruction_num_points_{tag}"],
                 example[f"reconstruction_coordinates_{tag}"],
-                grid_shape,
+                grid_shape, self.pc_range_full, go.dtype,
             )
-            grid = world_grid(grid_shape, self.pc_range_full, go.dtype)
-            losses.append(mask_offset_loss(go, gm, gt, grid))
+            losses.append(mask_offset_loss_folded(go, gm, gt_off, occ))
         mask_loss = losses[0][0] + losses[1][0]
         offset_loss = losses[0][1] + losses[1][1]
         return mask_loss, offset_loss
@@ -214,18 +281,18 @@ class KD_PointPillars(nn.Module):
     # pure post-hoc functions (no params) ------------------------------------
     def pcr_loss(self, out, example):
         """Full-resolution depth-1 reconstruction target (reference
-        point_pillars.py:176-213; mean of the first 5 point features)."""
-        go = out["gen_offset"]
-        gm = out["gen_mask"]
-        grid_shape = tuple(go.shape[1:4])  # (1, ny, nx)
-        gt = rasterize_mean_points(
+        point_pillars.py:176-213; mean of the first 5 point features).
+        The pillar PCR emits D=1 NDHWC volumes; fold = squeeze."""
+        go = out["gen_offset"][:, 0]        # (B, ny, nx, 3) = folded D=1
+        gm = out["gen_mask"][:, 0, :, :, 0]  # (B, ny, nx)
+        grid_shape = (1, go.shape[1], go.shape[2])
+        gt_off, occ = rasterize_pcr_targets_folded(
             example["reconstruction_voxels"][..., :5],
             example["reconstruction_num_points"],
             example["reconstruction_coordinates"],
-            grid_shape,
+            grid_shape, self.pc_range_full, go.dtype,
         )
-        grid = world_grid(grid_shape, self.pc_range_full, go.dtype)
-        return mask_offset_loss(go, gm, gt, grid)
+        return mask_offset_loss_folded(go, gm[..., None], gt_off, occ)
 
     def loss(self, preds, example):
         if isinstance(self.bbox_head, MultiGroupHead):

@@ -63,11 +63,12 @@ def test_student_forward_shapes(setup):
     cfg, teacher, student, batch, t_vars, s_vars = setup
     out, _ = student.apply(s_vars, batch, train=True, mutable=["batch_stats"])
     assert out["f_s_a"].shape == out["f_s_b"].shape == (2, 4, 4, 256)
-    # PCR pyramids: D=10 at 1/4 grid (8x8), D=20 at 1/2 grid (16x16)
-    assert out["gen_offset_4"].shape == (2, 10, 8, 8, 3)
-    assert out["gen_mask_4"].shape == (2, 10, 8, 8, 1)
-    assert out["gen_offset_2"].shape == (2, 20, 16, 16, 3)
-    assert out["gen_mask_2"].shape == (2, 20, 16, 16, 1)
+    # PCR pyramids (z-FOLDED (B,H,W,D*C)): D=10 at 1/4 grid (8x8), D=20
+    # at 1/2 grid (16x16)
+    assert out["gen_offset_4"].shape == (2, 8, 8, 10 * 3)
+    assert out["gen_mask_4"].shape == (2, 8, 8, 10)
+    assert out["gen_offset_2"].shape == (2, 16, 16, 20 * 3)
+    assert out["gen_mask_2"].shape == (2, 16, 16, 20)
     # eval: PCR off
     out_eval = student.apply(s_vars, batch, train=False)
     assert out_eval["gen_offset_2"] is None
