@@ -61,19 +61,40 @@ def _bench_model(model, variables, batch, k1=4, k2=12):
             rng.normal(0, 1e-4, (k, 1, 1, 1, 1)).astype(np.float32) + salt
         )
 
-    def timed(k, reps=3):
-        run = make_runner(k)
-        float(np.asarray(run(eps_stack(k, 0.0))))  # compile + warmup
-        ts = []
-        for r in range(reps):
-            es = eps_stack(k, 1e-6 * (r + 1))
-            t0 = time.perf_counter()
-            float(np.asarray(run(es)))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+    reps = int(os.environ.get("S2D_BENCH_REPS", "3"))
 
-    t1, t2 = timed(k1), timed(k2)
-    dt = max((t2 - t1) / (k2 - k1), 1e-6)
+    def once(run, es, retries=4):
+        # the axon tunnel intermittently fails dispatches of large
+        # programs with a bare INVALID_ARGUMENT (observed r5 on the plane
+        # engine; the same dispatch re-runs fine) — retry, and report
+        for attempt in range(retries + 1):
+            try:
+                t0 = time.perf_counter()
+                float(np.asarray(run(es)))
+                return time.perf_counter() - t0
+            except Exception as e:
+                if attempt == retries:
+                    raise
+                print(f"[bench dispatch retry {attempt + 1}: "
+                      f"{type(e).__name__}]", file=sys.stderr, flush=True)
+
+    def timed(k):
+        run = make_runner(k)
+        once(run, eps_stack(k, 0.0))  # compile + warmup
+        return [once(run, eps_stack(k, 1e-6 * (r + 1))) for r in range(reps)]
+
+    ts1, ts2 = timed(k1), timed(k2)
+    # per-rep frame time: pair the sorted rep lists so tunnel-slow reps
+    # difference against tunnel-slow reps (per-rep spread, not cross talk)
+    dts = [max((b - a) / (k2 - k1), 1e-6)
+           for a, b in zip(sorted(ts1), sorted(ts2))]
+    dt = float(np.median(dts))
+    # run-to-run spread on stderr (PERF.md records it; the driver's stdout
+    # JSON schema stays one line per metric)
+    print(f"[bench spread] frame_ms median={dt*1e3:.2f} "
+          f"min={min(dts)*1e3:.2f} max={max(dts)*1e3:.2f} reps={reps} "
+          f"spread_pct={100*(max(dts)-min(dts))/max(dt, 1e-9):.1f}",
+          file=sys.stderr, flush=True)
     return 1.0 / dt
 
 

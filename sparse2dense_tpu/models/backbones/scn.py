@@ -883,6 +883,14 @@ class SpMiddleResNetFHD(nn.Module):
     # per-stage tuple (conv1, conv2, conv3, conv4+extra) — per-BEV-line
     # occupancy differs per stage, so the coverage floor does too
     win_window: Any = 384
+    # residual-row budget of the STRIDED window plans (WinDownsample):
+    # output rows whose neighbor ranks fall outside the rank window take a
+    # gather-based exact fallback capped at this many rows (cost is ~27
+    # gathered rows each, ~1-3 ms at 16k). The conv1->conv2 downsample of
+    # the plane engine measures 13.8k residual rows at W=384 on the
+    # synthetic Waymo scene — the old 1024 default silently dropped their
+    # contributions (overflow is counted in the win_resid telemetry)
+    win_resid_budget: int = 16384
     # tile engine geometry: BEV tile (ty, tx), per-stage z-chunk heights
     # (conv1..conv4; each downsample needs 2*tz_out == tz or tz_out >= d_out)
     # and per-stage occupied-tile budgets (overflow is counted, see
@@ -1461,7 +1469,8 @@ class SpMiddleResNetFHD(nn.Module):
 
         feats, coords, lin, valid, grid = WinDownsample(
             32, grid, (2, 2, 2), (1, 1, 1), ksize=(3, 3, 3),
-            out_budget=budgets[0], window=wins_w[1], axis_name=an,
+            out_budget=budgets[0], window=wins_w[1],
+                resid_budget=self.win_resid_budget, axis_name=an,
             name="conv2_down")(feats, coords, lin, train)
 
         # ---- conv2..conv4: fused plane kernels ---------------------------
@@ -1592,7 +1601,7 @@ class SpMiddleResNetFHD(nn.Module):
                 feats, coords, lin, valid, grid = WinDownsample(
                     ch, grid, stride, pad, ksize=ksz,
                     out_budget=budgets[k - 1], window=wins[k],
-                    axis_name=an, name=f"{name}_down",
+                    resid_budget=self.win_resid_budget, axis_name=an, name=f"{name}_down",
                 )(feats, coords, lin, train)
                 if k == dfs:  # densify the coarser output grid
                     dense_x, dense_mask = self._dense_stream(
@@ -1623,6 +1632,7 @@ class SpMiddleResNetFHD(nn.Module):
             feats, coords, lin, valid, g4 = WinDownsample(
                 128, grid, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1),
                 out_budget=budgets[3], window=wins[3],
+                resid_budget=self.win_resid_budget,
                 axis_name=an, name="extra_conv",
             )(feats, coords, lin, train)
             bev = sparse_to_bev(SparseTensor(feats, coords, valid), g4)
@@ -1728,6 +1738,7 @@ class SpMiddleFHD(nn.Module):
     dense_from_stage: int = 2
     engine: str = "gather"
     win_window: Any = 384   # int or per-stage 4-tuple (see SpMiddleResNetFHD)
+    win_resid_budget: int = 16384  # strided-plan residual rows (see above)
     dense_compute_dtype: Optional[str] = None
     remat_dense: bool = True
     norm_cfg: Optional[dict] = None
@@ -1799,7 +1810,10 @@ class SpMiddleFHD(nn.Module):
         return bev, conv4
 
     def _window_forward(self, voxel_features, coords, train: bool):
-        """All-sparse windowed one-hot engine (see SpMiddleResNetFHD); same
+        """Windowed one-hot engine for the subm stages; stages >=
+        ``dense_from_stage`` switch to masked dense convs (the flagship
+        pattern, see SpMiddleResNetFHD._window_forward — at the dilated
+        later-stage occupancies the MXU-dense formulation wins). Same
         parameter tree as the gather engine."""
         from ...ops import window_conv as WC
 
@@ -1811,6 +1825,13 @@ class SpMiddleFHD(nn.Module):
         v = feats.shape[1]
         budgets = self.stage_budgets or (v, v, v, v)
         grid = self.sparse_shape
+        dfs = self.dense_from_stage if self.dense_from_stage is not None else 99
+
+        def dense_stream(st, grid):
+            if self.dense_compute_dtype:
+                cd = jnp.dtype(self.dense_compute_dtype)
+                st = SparseTensor(st.features.astype(cd), st.coords, st.valid)
+            return densify(st, grid)
 
         feats, coords, lin = jax.vmap(
             lambda f, c: WC.sort_rows(f, c, grid))(feats, coords)
@@ -1825,9 +1846,17 @@ class SpMiddleFHD(nn.Module):
             self.sow("telemetry", "win_resid", jnp.sum(p.n_resid))
             return p
 
-        plan = subm_plan(lin, coords, grid, wins[0])
-        feats = WinSubMStage((16, 16), axis_name=an, name="subm0")(
-            feats, valid, plan, train)
+        dense_x = dense_mask = None
+        if dfs <= 0:
+            dense_x, dense_mask = dense_stream(
+                SparseTensor(feats, coords, valid), grid)
+            dense_x = DenseSubMStage_(
+                (16, 16), compute_dtype=self.dense_compute_dtype,
+                axis_name=an, name="subm0")(dense_x, dense_mask, train)
+        else:
+            plan = subm_plan(lin, coords, grid, wins[0])
+            feats = WinSubMStage((16, 16), axis_name=an, name="subm0")(
+                feats, valid, plan, train)
         conv4 = None
 
         stages = [
@@ -1836,20 +1865,47 @@ class SpMiddleFHD(nn.Module):
             ("subm3", "down3", (64, 64, 64), (2, 2, 2), (0, 1, 1), (3, 3, 3)),
         ]
         for k, (name, down, chans, stride, pad, ksz) in enumerate(stages, 1):
-            feats, coords, lin, valid, grid = WinDownsample(
-                chans[0], grid, stride, pad, ksize=ksz,
-                out_budget=budgets[k - 1], window=wins[k],
-                axis_name=an, name=down,
-            )(feats, coords, lin, train)
-            plan = subm_plan(lin, coords, grid, wins[k])
-            feats = WinSubMStage(chans, axis_name=an, name=name)(
-                feats, valid, plan, train)
-            conv4 = (SparseTensor(feats, coords, valid), grid)
+            if k <= dfs and dense_x is None:
+                feats, coords, lin, valid, grid = WinDownsample(
+                    chans[0], grid, stride, pad, ksize=ksz,
+                    out_budget=budgets[k - 1], window=wins[k],
+                    resid_budget=self.win_resid_budget, axis_name=an, name=down,
+                )(feats, coords, lin, train)
+                if k == dfs:  # densify the coarser output grid
+                    dense_x, dense_mask = dense_stream(
+                        SparseTensor(feats, coords, valid), grid)
+            else:
+                dense_x, dense_mask = DenseDownsample_(
+                    chans[0], stride, pad, ksize=ksz,
+                    compute_dtype=self.dense_compute_dtype, axis_name=an,
+                    name=down)(dense_x, dense_mask, train)
+                grid = conv_out_grid(grid, stride, pad, ksz)
+            if dense_x is None:
+                plan = subm_plan(lin, coords, grid, wins[k])
+                feats = WinSubMStage(chans, axis_name=an, name=name)(
+                    feats, valid, plan, train)
+                conv4 = (SparseTensor(feats, coords, valid), grid)
+            else:
+                dense_x = DenseSubMStage_(
+                    chans, compute_dtype=self.dense_compute_dtype,
+                    axis_name=an, name=name)(dense_x, dense_mask, train)
+                conv4 = (dense_x, grid)
 
-        feats, coords, lin, valid, g4 = WinDownsample(
-            64, grid, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1),
-            out_budget=budgets[3], window=wins[3],
-            axis_name=an, name="extra_conv",
-        )(feats, coords, lin, train)
-        bev = sparse_to_bev(SparseTensor(feats, coords, valid), g4)
+        if 4 < dfs:
+            feats, coords, lin, valid, g4 = WinDownsample(
+                64, grid, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1),
+                out_budget=budgets[3], window=wins[3],
+                resid_budget=self.win_resid_budget,
+                axis_name=an, name="extra_conv",
+            )(feats, coords, lin, train)
+            bev = sparse_to_bev(SparseTensor(feats, coords, valid), g4)
+        else:
+            if dense_x is None:
+                dense_x, dense_mask = dense_stream(
+                    SparseTensor(feats, coords, valid), grid)
+            dense_x, dense_mask = DenseDownsample_(
+                64, (2, 1, 1), (0, 0, 0), ksize=(3, 1, 1),
+                compute_dtype=self.dense_compute_dtype, axis_name=an,
+                name="extra_conv")(dense_x, dense_mask, train)
+            bev = dense_to_bev(dense_x)
         return bev, conv4

@@ -25,14 +25,28 @@ def timed_scan(step_fn, k1=2, k2=6, reps=2):
             return jnp.sum(outs)
         return run
 
+    def once(run, i0, retries=4):
+        # the axon tunnel intermittently fails dispatches of large
+        # programs with a bare INVALID_ARGUMENT (observed r5 on the plane
+        # engine; the same dispatch re-runs fine) — retry, and report
+        for attempt in range(retries + 1):
+            try:
+                t0 = time.perf_counter()
+                v = float(np.asarray(run(jnp.int32(i0))))
+                return time.perf_counter() - t0, v
+            except Exception as e:
+                if attempt == retries:
+                    raise
+                print(f"  [dispatch retry {attempt + 1}: "
+                      f"{type(e).__name__}]", flush=True)
+
     def t(k):
         run = make(k)
-        float(np.asarray(run(jnp.int32(0))))
+        once(run, 0)  # compile + warmup
         ts = []
         for r in range(reps):
-            t0 = time.perf_counter()
-            float(np.asarray(run(jnp.int32(r + 1))))
-            ts.append(time.perf_counter() - t0)
+            dt, _ = once(run, r + 1)
+            ts.append(dt)
         return float(np.median(ts))
 
     return max((t(k2) - t(k1)) / (k2 - k1), 1e-9)

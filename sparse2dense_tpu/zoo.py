@@ -66,11 +66,19 @@ def _voxelnet_model(tasks, dataset="waymo", student=False, head_extra=None):
         # the config unmodified): windowed one-hot Pallas engine for the
         # conv1 stage, z-packed masked-dense bf16 from conv2 on; the
         # conv2 row budget covers the measured dilated active set (~305k
-        # at 150k input voxels) so nothing truncates. See PERF.md.
+        # at 150k input voxels on Waymo; 242k at the nusc test split's
+        # 160k 10-sweep voxels on the (40,1440,1440) 0075 grid — budget
+        # sizing math in tools/budget_sweep.py + PERF.md) so nothing
+        # truncates.
         backbone=dict(type="SpMiddleResNetFHD", num_input_features=5,
                       ds_factor=8, engine="window", dense_from_stage=1,
                       dense_compute_dtype="bfloat16",
-                      stage_budgets=(320000, 210000, 90000, 48000)),
+                      stage_budgets=(320000, 210000, 90000, 48000)
+                      if dataset == "waymo"
+                      # dilated active sets of the denser-but-coarser nusc
+                      # grids peak at 242k/134k/50k/48k (test split, 160k
+                      # voxels); ~12% headroom on top
+                      else (280000, 152000, 60000, 56000)),
         neck=dict(
             type="S2D_RPN" if student else "RPN",
             layer_nums=[5, 5], ds_layer_strides=[1, 2], ds_num_filters=[128, 256],
@@ -142,7 +150,14 @@ def _second_model(tasks, student=False):
         type="KD_VoxelNet" if student else "VoxelNet",
         pretrained=None,
         reader=dict(type="VoxelFeatureExtractorV3", num_input_features=5),
-        backbone=dict(type="SpMiddleFHD", num_input_features=5, ds_factor=8),
+        # same Waymo grid/voxelization as the flagship, so the flagship's
+        # measured engine settings carry over (stage active sets are a
+        # property of the coords, not the model; PERF.md): window engine
+        # for the subm0 stage, z-packed masked-dense bf16 from down1 on.
+        backbone=dict(type="SpMiddleFHD", num_input_features=5, ds_factor=8,
+                      engine="window", dense_from_stage=1,
+                      dense_compute_dtype="bfloat16",
+                      stage_budgets=(320000, 210000, 90000, 48000)),
         neck=dict(
             type="S2D_RPN" if student else "RPN",
             layer_nums=[5], ds_layer_strides=[1], ds_num_filters=[128],

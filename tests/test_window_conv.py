@@ -149,6 +149,31 @@ def test_second_backbone_window_engine_matches_gather(rng):
                                rtol=2e-3, atol=2e-4)
 
 
+def test_second_backbone_window_dfs1_matches_gather(rng):
+    """The shipped SECOND zoo setting: engine='window' with
+    dense_from_stage=1 (window subm0, masked-dense from down1 on) must
+    equal the all-sparse gather engine with the SAME parameters."""
+    from sparse2dense_tpu.models.backbones.scn import SpMiddleFHD
+
+    grid = (41, 32, 32)
+    feats, coords = _clustered_scene(rng, grid, 280)
+    feats = feats[:, :5]
+    feats, coords = _pad(feats, coords, 320)
+    fb, cb = jnp.asarray(feats)[None], jnp.asarray(coords)[None]
+    budgets = (960, 960, 960, 960)
+    ref_bb = SpMiddleFHD(num_input_features=5, sparse_shape=grid,
+                         dense_from_stage=99, engine="gather",
+                         stage_budgets=budgets)
+    win_bb = SpMiddleFHD(num_input_features=5, sparse_shape=grid,
+                         engine="window", dense_from_stage=1,
+                         stage_budgets=budgets)
+    variables = ref_bb.init(jax.random.PRNGKey(0), fb, cb, False)
+    bev_ref, _ = ref_bb.apply(variables, fb, cb, False)
+    bev_win, _ = win_bb.apply(variables, fb, cb, False)
+    np.testing.assert_allclose(np.asarray(bev_win), np.asarray(bev_ref),
+                               rtol=2e-3, atol=2e-4)
+
+
 def test_kd_voxelnet_window_engine_eval(rng):
     """The bench path: KD_VoxelNet (S2D_RPN student) with engine='window',
     eval forward + predict at tiny scale."""
